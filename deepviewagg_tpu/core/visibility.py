@@ -1,0 +1,229 @@
+"""Occlusion-aware visibility: splat z-buffering + viewing-condition features.
+
+TPU-native reformulation of the reference's visibility kernels
+(torch_points3d/core/multimodal/visibility.py:631-1605).  The reference CUDA
+path already uses the array formulation we want (flatten every splat to pixel
+ids, ``scatter_min`` over depth — visibility.py:1198-1285); the TPU version
+makes it static-shape:
+
+  * every point gets a fixed ``max_splat x max_splat`` pixel grid; pixels
+    outside the point's actual splat bbox are masked;
+  * the z-buffer is two masked scatter-min passes over a dense ``W*H`` map
+    (depth race then deterministic index tie-break), so results are
+    reproducible — unlike the reference's GPU ``scatter_min`` which the repo
+    itself papers over with a CPU fallback (modules.py:200-211);
+  * outputs are dense ``idx_map``/``depth_map`` images; sparse point<->pixel
+    mappings are extracted host-side at preprocessing time
+    (:mod:`deepviewagg_tpu.data.mapping_factory`).
+
+Splat-size model (visibility.py:647-875): angular width
+``(1 + k_swell * exp(-dist / ln(d_swell))) * voxel / dist``, converted to
+pixels per camera model; equirectangular x-width additionally divides by
+``sin(pi * y / H)`` (latitude correction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import cameras as _cam
+
+__all__ = [
+    "splat_bboxes",
+    "splat_zbuffer",
+    "normalize_depth",
+    "orientation_to_normal",
+    "postprocess_features",
+    "depth_map_visibility",
+]
+
+
+def _clamp_bbox(x_a, x_b, y_a, y_b, size, crop_top, crop_bottom):
+    w, h = size
+    x_a = jnp.clip(x_a, 0, w - 1)
+    x_b = jnp.clip(x_b, 1, w)
+    y_a = jnp.clip(y_a, crop_top, h - crop_bottom - 1)
+    y_b = jnp.clip(y_b, crop_top + 1, h - crop_bottom)
+    return x_a, x_b, y_a, y_b
+
+
+def splat_bboxes(camera: _cam.Camera, xyz, x_proj, y_proj, dist,
+                 voxel=0.1, k_swell=1.0, d_swell=1000.0):
+    """Per-point splat bbox (x_a, x_b, y_a, y_b) in pixels, reference
+    semantics (equirectangular/pinhole/fisheye splats, visibility.py:631-1012)."""
+    w, h = camera.size
+    swell = 1.0 + k_swell * jnp.exp(-dist / jnp.log(d_swell))
+
+    if camera.model == "s3dis_equirectangular":
+        angular_width = swell * voxel / jnp.maximum(dist, 1e-6)
+        res_y = angular_width * h / jnp.pi
+        a = angular_width * w / (2.0 * jnp.pi)
+        b = jnp.pi / h
+        res_x = a / (jnp.sin(b * y_proj) + 0.001)
+        width_x, width_y = res_x, res_y
+    elif camera.model in ("scannet", "kitti360_perspective"):
+        s = swell * voxel / jnp.maximum(dist, 1e-6)
+        k = jnp.asarray(camera.intrinsic, jnp.float32)
+        width_x = s * k[0, 0]
+        width_y = s * k[1, 1]
+    elif camera.model == "kitti360_fisheye":
+        # Project the voxel-top offset and use the pixel displacement as the
+        # splat radius proxy (visibility.py:875-930).
+        z_off = jnp.zeros_like(xyz).at[:, 2].set(swell * voxel / 2)
+        x2, y2, _ = _cam.fisheye_projection(
+            xyz + z_off, camera.extrinsic, camera.fisheye
+        )
+        r = 2 * jnp.sqrt((x_proj - x2) ** 2 + (y_proj - y2) ** 2)
+        width_x = width_y = r
+    else:
+        raise ValueError(camera.model)
+
+    x_a = jnp.round(x_proj - width_x / 2).astype(jnp.int32)
+    x_b = jnp.round(x_proj + width_x / 2 + 1).astype(jnp.int32)
+    y_a = jnp.round(y_proj - width_y / 2).astype(jnp.int32)
+    y_b = jnp.round(y_proj + width_y / 2 + 1).astype(jnp.int32)
+    return _clamp_bbox(
+        x_a, x_b, y_a, y_b, camera.size, camera.crop_top, camera.crop_bottom
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size", "max_splat", "exact"))
+def _zbuffer(x_proj, y_proj, dist, valid, bbox, size, max_splat, exact):
+    w, h = size
+    n = x_proj.shape[0]
+    x_a, x_b, y_a, y_b = bbox
+
+    # Static (dx, dy) offset grid: every point contributes max_splat^2
+    # candidate pixels; out-of-bbox offsets are masked.  This replaces the
+    # dynamic repeat_interleave flattening of the reference CUDA path.
+    dx = jax.lax.broadcasted_iota(jnp.int32, (max_splat, max_splat), 0)
+    dy = jax.lax.broadcasted_iota(jnp.int32, (max_splat, max_splat), 1)
+    px = x_a[:, None, None] + dx[None]                      # [N, S, S]
+    py = y_a[:, None, None] + dy[None]
+    m = (
+        valid[:, None, None]
+        & (px < x_b[:, None, None])
+        & (py < y_b[:, None, None])
+    )
+    flat_pix = (px * h + py).reshape(-1)                    # [N*S*S]
+    flat_pix = jnp.where(m.reshape(-1), flat_pix, w * h)    # drop slot
+    flat_depth = jnp.broadcast_to(
+        dist[:, None, None], (n, max_splat, max_splat)
+    ).reshape(-1)
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None, None], (n, max_splat, max_splat)
+    ).reshape(-1)
+
+    big = jnp.float32(1e30)
+    depth_map = jnp.full((w * h + 1,), big, jnp.float32)
+    depth_map = depth_map.at[flat_pix].min(flat_depth, mode="drop")
+
+    # Deterministic tie-break: among entries whose depth equals the pixel
+    # minimum, keep the smallest point index.
+    is_win = flat_depth <= depth_map[flat_pix]
+    cand = jnp.where(is_win & m.reshape(-1), flat_idx, n)
+    idx_map = jnp.full((w * h + 1,), n, jnp.int32)
+    idx_map = idx_map.at[flat_pix].min(cand, mode="drop")
+
+    depth_map = jnp.where(depth_map >= big / 2, -1.0, depth_map)[: w * h]
+    idx_map = jnp.where(idx_map >= n, -1, idx_map)[: w * h]
+
+    if exact:
+        # Keep only winning points, re-mapped to their center projection
+        # pixel (visibility.py:1164-1187, 1273-1284): sparse exact mappings.
+        seen = (
+            jnp.zeros((n,), jnp.int32)
+            .at[jnp.maximum(idx_map, 0)]
+            .max((idx_map >= 0).astype(jnp.int32))
+            .astype(bool)
+        )
+        xc = jnp.clip(x_proj.astype(jnp.int32), 0, w - 1)
+        yc = jnp.clip(y_proj.astype(jnp.int32), 0, h - 1)
+        center_pix = xc * h + yc
+        idx_map = jnp.full((w * h,), -1, jnp.int32)
+        pix = jnp.where(seen & valid, center_pix, w * h)  # w*h drops
+        # Last writer wins is fine here: centers of distinct seen points
+        # rarely collide, and the reference's sequential loop has the same
+        # collision semantics.
+        idx_map = idx_map.at[pix].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )
+        depth_map = jnp.where(
+            idx_map >= 0, dist[jnp.maximum(idx_map, 0)], -1.0
+        )
+
+    return idx_map.reshape(w, h), depth_map.reshape(w, h)
+
+
+def splat_zbuffer(
+    camera: _cam.Camera,
+    xyz,
+    voxel=0.1,
+    k_swell=1.0,
+    d_swell=1000.0,
+    exact=False,
+    max_splat=8,
+):
+    """Full splatting visibility for one camera.
+
+    Returns ``(idx_map [W,H] int32, depth_map [W,H] f32, x_proj, y_proj,
+    depth, valid)`` — dense maps hold -1 where no point is visible.
+    """
+    x_proj, y_proj, dist, valid = _cam.project(xyz, camera)
+    bbox = splat_bboxes(
+        camera, jnp.asarray(xyz, jnp.float32), x_proj, y_proj, dist,
+        voxel=voxel, k_swell=k_swell, d_swell=d_swell,
+    )
+    idx_map, depth_map = _zbuffer(
+        x_proj, y_proj, dist, valid, bbox, camera.size, int(max_splat), bool(exact)
+    )
+    return idx_map, depth_map, x_proj, y_proj, dist, valid
+
+
+def depth_map_visibility(x_proj, y_proj, dist, depth_map, depth_threshold=0.05):
+    """Visibility by comparison against a provided sensor depth map
+    (S3DIS 16-bit PNG path, visibility.py:1328-1394): a point is seen if its
+    distance is within ``depth_threshold`` (relative) of the map's depth at
+    its projection pixel."""
+    depth_map = jnp.asarray(depth_map, jnp.float32)
+    w, h = depth_map.shape
+    xi = jnp.clip(x_proj.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y_proj.astype(jnp.int32), 0, h - 1)
+    d_ref = depth_map[xi, yi]
+    ok = (d_ref > 0) & (jnp.abs(dist - d_ref) <= depth_threshold * d_ref)
+    return ok
+
+
+def normalize_depth(dist, r_min=0.5, r_max=30.0):
+    """Rescale distances by the camera range (visibility.py:1503-1518)."""
+    return (dist - r_min) / (r_max + 1e-4)
+
+
+def orientation_to_normal(view_dir_unit, normals):
+    """|cos| of the angle between the viewing ray and the surface normal
+    (visibility.py:1521-1545)."""
+    return jnp.abs(jnp.sum(view_dir_unit * normals, axis=1))
+
+
+def postprocess_features(
+    xyz_to_img, y_proj, dist, linearity, planarity, scattering, normals,
+    img_height, r_min=0.5, r_max=30.0,
+):
+    """The 6 projection-time viewing-condition features, fixed order
+    (SURVEY.md §A.3; visibility.py:1548-1582): normalized depth, linearity,
+    planarity, scattering, orientation-to-surface, normalized pixel height.
+    Density and occlusion (features 7-8) are appended by the kNN pass in the
+    mapping factory."""
+    view_dir = xyz_to_img / (dist[:, None] + 1e-4)
+    feats = [
+        normalize_depth(dist, r_min, r_max),
+        linearity,
+        planarity,
+        scattering,
+        orientation_to_normal(view_dir, normals),
+        y_proj / img_height,
+    ]
+    return jnp.stack(feats, axis=1).astype(jnp.float32)

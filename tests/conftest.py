@@ -15,8 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS from the
+# environment; jax.config wins over both.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, "expected the virtual 8-device CPU mesh"
 
 
 @pytest.fixture
