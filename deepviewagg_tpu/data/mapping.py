@@ -1,0 +1,255 @@
+"""Flat-array point->view->pixel mappings (the TPU ``ImageMapping``).
+
+The reference stores the two-level ragged relation point -> views -> pixels
+in nested CSR objects (``ImageMapping``, core/multimodal/image.py:1707).  Here
+it is a pair of sorted segment-id tables with validity masks and static
+capacities — directly consumable by ``jax.ops.segment_*`` on device:
+
+  view level   one row per (point, image) pair that sees the point:
+               ``point_id`` (sorted; pad = num_points), ``image_id``,
+               ``view_feats [*, 8]`` (viewing conditions, SURVEY.md §A.3);
+  pixel level  one row per (view, pixel): ``pix_view`` (sorted; pad =
+               view capacity), integer pixel coords at the camera's
+               reference resolution.
+
+Reindex operations (the reference's ``select_points`` / batching machinery,
+image.py:2029-2345) are host-side numpy: they happen at collate / graph-build
+time, never inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.csr import pad_to
+
+__all__ = ["MultiViewMapping", "concatenate_mappings"]
+
+NUM_VIEW_FEATURES = 8  # SURVEY.md §A.3 fixed order
+VIEW_FEATURE_NAMES = (
+    "normalized_depth",
+    "linearity",
+    "planarity",
+    "scattering",
+    "orientation_to_the_surface",
+    "normalized_pixel_height",
+    "density",
+    "occlusion",
+)
+
+
+@dataclasses.dataclass
+class MultiViewMapping:
+    """Host (numpy) mapping arrays; ``to_device()`` yields the jit pytree."""
+
+    point_id: np.ndarray      # int32 [Vc], sorted asc, pad = num_points
+    image_id: np.ndarray      # int32 [Vc], pad = 0 (masked)
+    view_feats: np.ndarray    # f32 [Vc, F]
+    view_valid: np.ndarray    # bool [Vc]
+    pix_view: np.ndarray      # int32 [Qc], sorted asc, pad = Vc
+    pix_x: np.ndarray         # int32 [Qc]
+    pix_y: np.ndarray         # int32 [Qc]
+    pix_valid: np.ndarray     # bool [Qc]
+    num_points: int           # point-index capacity this mapping addresses
+    num_images: int
+
+    @property
+    def num_views(self) -> int:
+        return int(self.view_valid.sum())
+
+    @property
+    def num_pixels(self) -> int:
+        return int(self.pix_valid.sum())
+
+    @property
+    def view_capacity(self) -> int:
+        return len(self.point_id)
+
+    @property
+    def pixel_capacity(self) -> int:
+        return len(self.pix_view)
+
+    def check(self):
+        """Invariant assertions (the reference's ``ImageMapping.debug``,
+        image.py:1797)."""
+        v = self.view_valid
+        q = self.pix_valid
+        assert np.all(np.diff(self.point_id) >= 0), "views not sorted by point"
+        assert np.all(self.point_id[~v] == self.num_points)
+        assert np.all(self.point_id[v] < self.num_points)
+        assert np.all(np.diff(self.pix_view) >= 0), "pixels not sorted by view"
+        assert np.all(self.pix_view[~q] == self.view_capacity)
+        assert np.all(self.pix_view[q] < self.view_capacity)
+        # every valid view must own >= 1 pixel
+        owned = np.zeros(self.view_capacity + 1, np.int64)
+        np.add.at(owned, self.pix_view.astype(np.int64), q.astype(np.int64))
+        assert np.all(owned[: self.view_capacity][v] >= 1), "pixel-less view"
+
+    def pad(self, view_cap: int, pix_cap: int) -> "MultiViewMapping":
+        """Grow (never shrink valid rows) to the given static capacities.
+
+        Pixel pad rows must point at the *new* view capacity, and existing
+        pixel pads are re-pointed too.
+        """
+        if view_cap < self.num_views or pix_cap < self.num_pixels:
+            raise ValueError("capacity below live rows")
+        pix_view = np.where(self.pix_valid, self.pix_view, view_cap)
+        return MultiViewMapping(
+            point_id=pad_to(self.point_id, view_cap, fill=self.num_points),
+            image_id=pad_to(self.image_id, view_cap, fill=0),
+            view_feats=pad_to(self.view_feats, view_cap, fill=0.0),
+            view_valid=pad_to(self.view_valid, view_cap, fill=False),
+            pix_view=pad_to(pix_view, pix_cap, fill=view_cap),
+            pix_x=pad_to(self.pix_x, pix_cap, fill=0),
+            pix_y=pad_to(self.pix_y, pix_cap, fill=0),
+            pix_valid=pad_to(self.pix_valid, pix_cap, fill=False),
+            num_points=self.num_points,
+            num_images=self.num_images,
+        )
+
+    def with_num_points(self, num_points: int) -> "MultiViewMapping":
+        """Re-target the point index space (e.g. after padding the voxel
+        arrays to a larger capacity)."""
+        pid = np.where(self.view_valid, self.point_id, num_points)
+        return dataclasses.replace(self, point_id=pid, num_points=num_points)
+
+    def merge_points(self, parent: np.ndarray, new_num_points: int) -> "MultiViewMapping":
+        """Follow a point-merge reindex (strided conv): ``parent[i]`` is the
+        coarse index of fine point ``i`` (pad -> >= new_num_points).
+
+        The reference's ``ImageMapping.select_points(idx, mode='merge')``
+        (image.py:2167) — views of merged points concatenate under the coarse
+        id; views are re-sorted, and the pixel table follows via the inverse
+        view permutation.  Host-side because parents are known at graph-build
+        time.
+        """
+        parent = np.asarray(parent, np.int64)
+        new_pid = np.where(
+            self.view_valid, parent[np.minimum(self.point_id, len(parent) - 1)],
+            new_num_points,
+        )
+        new_pid = np.minimum(new_pid, new_num_points)
+        order = np.argsort(new_pid, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        vc = self.view_capacity
+        new_pix_view = np.where(self.pix_valid, inv[np.minimum(self.pix_view, vc - 1)], vc)
+        pix_order = np.argsort(new_pix_view, kind="stable")
+        return MultiViewMapping(
+            point_id=new_pid[order].astype(np.int32),
+            image_id=self.image_id[order],
+            view_feats=self.view_feats[order],
+            view_valid=self.view_valid[order],
+            pix_view=new_pix_view[pix_order].astype(np.int32),
+            pix_x=self.pix_x[pix_order],
+            pix_y=self.pix_y[pix_order],
+            pix_valid=self.pix_valid[pix_order],
+            num_points=new_num_points,
+            num_images=self.num_images,
+        )
+
+    def select_images(self, keep: Sequence[int]) -> "MultiViewMapping":
+        """Restrict to a subset of images, renumbering them 0..len(keep)-1
+        (the reference's ``select_images``, image.py:2029).  Dropped views and
+        their pixels become padding (capacities unchanged)."""
+        keep = np.asarray(keep, np.int64)
+        remap = np.full(self.num_images, -1, np.int64)
+        remap[keep] = np.arange(len(keep))
+        new_img = remap[np.minimum(self.image_id, self.num_images - 1)]
+        view_valid = self.view_valid & (new_img >= 0)
+        vc = self.view_capacity
+        # compact: surviving views first (stable), pads after
+        order = np.argsort(~view_valid, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        pid = np.where(view_valid, self.point_id, self.num_points)[order]
+        # keep view-level sort by point id among valid
+        sub_order = np.argsort(pid, kind="stable")
+        order2 = order[sub_order]
+        inv2 = np.empty_like(order2)
+        inv2[order2] = np.arange(len(order2))
+        pix_ok = self.pix_valid & view_valid[np.minimum(self.pix_view, vc - 1)]
+        new_pix_view = np.where(pix_ok, inv2[np.minimum(self.pix_view, vc - 1)], vc)
+        pix_order = np.argsort(new_pix_view, kind="stable")
+        return MultiViewMapping(
+            point_id=np.where(view_valid, self.point_id, self.num_points)[order2],
+            image_id=np.where(new_img >= 0, new_img, 0)[order2].astype(np.int32),
+            view_feats=self.view_feats[order2],
+            view_valid=view_valid[order2],
+            pix_view=new_pix_view[pix_order].astype(np.int32),
+            pix_x=self.pix_x[pix_order],
+            pix_y=self.pix_y[pix_order],
+            pix_valid=pix_ok[pix_order],
+            num_points=self.num_points,
+            num_images=len(keep),
+        )
+
+    def points_seen(self) -> np.ndarray:
+        """bool [num_points]: which points have at least one valid view."""
+        seen = np.zeros(self.num_points + 1, bool)
+        seen[np.minimum(self.point_id, self.num_points)] |= self.view_valid
+        return seen[: self.num_points]
+
+    def to_device(self) -> dict:
+        """The pytree the jitted branch consumes."""
+        return {
+            "point_id": self.point_id,
+            "image_id": self.image_id,
+            "view_feats": self.view_feats,
+            "view_valid": self.view_valid,
+            "pix_view": self.pix_view,
+            "pix_x": self.pix_x,
+            "pix_y": self.pix_y,
+            "pix_valid": self.pix_valid,
+        }
+
+
+def concatenate_mappings(
+    mappings: Sequence[MultiViewMapping],
+    point_offsets: Sequence[int],
+    total_points: int,
+) -> MultiViewMapping:
+    """Collate per-sample mappings (the reference's ``ImageMappingBatch.
+    from_csr_list`` with is_index_value re-offsetting, image.py:1318-1395).
+
+    ``point_offsets[s]`` is sample s's start row in the collated (unpadded)
+    point arrays; image ids are offset by cumulative image counts.  Only
+    valid rows are kept, then the result can be ``pad()``-ed to batch caps.
+    """
+    pid, img, vf, pv, px, py = [], [], [], [], [], []
+    img_off = 0
+    view_off = 0
+    for m, poff in zip(mappings, point_offsets):
+        v = m.view_valid
+        q = m.pix_valid
+        pid.append(m.point_id[v].astype(np.int64) + poff)
+        img.append(m.image_id[v].astype(np.int64) + img_off)
+        vf.append(m.view_feats[v])
+        # compact view index: position among valid views of this sample
+        old_to_new = np.full(m.view_capacity, -1, np.int64)
+        old_to_new[np.nonzero(v)[0]] = np.arange(v.sum()) + view_off
+        pv.append(old_to_new[np.minimum(m.pix_view[q], m.view_capacity - 1)])
+        px.append(m.pix_x[q])
+        py.append(m.pix_y[q])
+        img_off += m.num_images
+        view_off += int(v.sum())
+    point_id = np.concatenate(pid) if pid else np.zeros(0, np.int64)
+    total_views = len(point_id)
+    out = MultiViewMapping(
+        point_id=point_id.astype(np.int32),
+        image_id=(np.concatenate(img) if img else np.zeros(0)).astype(np.int32),
+        view_feats=np.concatenate(vf) if vf else np.zeros((0, NUM_VIEW_FEATURES), np.float32),
+        view_valid=np.ones(total_views, bool),
+        pix_view=(np.concatenate(pv) if pv else np.zeros(0)).astype(np.int32),
+        pix_x=(np.concatenate(px) if px else np.zeros(0)).astype(np.int32),
+        pix_y=(np.concatenate(py) if py else np.zeros(0)).astype(np.int32),
+        pix_valid=np.ones(sum(len(a) for a in pv), bool) if pv else np.zeros(0, bool),
+        num_points=total_points,
+        num_images=img_off,
+    )
+    # per-sample mappings are point-sorted; offsets keep the global sort
+    assert np.all(np.diff(out.point_id) >= 0) or len(out.point_id) == 0
+    return out

@@ -1,0 +1,176 @@
+"""The mapping factory: posed images + point cloud -> MultiViewMapping.
+
+Host-orchestrated equivalent of the reference's preprocessing pipeline
+``MapImages`` -> ``VisibilityModel`` -> ``ImageMapping.from_dense`` ->
+``NeighborhoodBasedMappingFeatures``
+(core/data_transform/multimodal/image.py:162-612, SURVEY.md §3.4).  Per
+image, the z-buffer runs as a jitted JAX pass (on TPU or host CPU — the
+array formulation of core/multimodal/visibility.py:1198-1285); the ragged ->
+array compression is numpy.
+
+Outputs are at the camera's native resolution; runtime transforms (crop /
+downscale / roll) operate on the arrays later.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core import cameras as _cam
+from ..core import visibility as _vis
+from ..ops import knn as _knn
+from . import geometric as _geo
+from .mapping import NUM_VIEW_FEATURES, MultiViewMapping
+
+__all__ = ["build_mappings", "VisibilityParams"]
+
+
+class VisibilityParams:
+    """Splatting-visibility knobs (reference ``SplattingVisibility``,
+    visibility.py:1764: voxel, k_swell, d_swell, exact)."""
+
+    def __init__(self, voxel=0.05, k_swell=1.0, d_swell=1000.0, exact=False,
+                 max_splat=8, knn_k=16):
+        self.voxel = voxel
+        self.k_swell = k_swell
+        self.d_swell = d_swell
+        self.exact = exact
+        self.max_splat = max_splat
+        self.knn_k = knn_k
+
+
+def _image_mappings_dense(idx_map: np.ndarray):
+    """Extract (point, x, y) pixel triplets from a dense winner-index map."""
+    xs, ys = np.nonzero(idx_map >= 0)
+    pts = idx_map[xs, ys]
+    return pts.astype(np.int64), xs.astype(np.int32), ys.astype(np.int32)
+
+
+def build_mappings(
+    pos: np.ndarray,
+    cams: Sequence[_cam.Camera],
+    params: Optional[VisibilityParams] = None,
+    geometric: Optional[dict] = None,
+) -> MultiViewMapping:
+    """Build the full mapping for one sample (unpadded capacities).
+
+    ``geometric`` optionally provides precomputed
+    ``{linearity, planarity, scattering, normal}`` (else computed here via
+    :func:`deepviewagg_tpu.data.geometric.pca_features` — the reference
+    carries them from the 3D pre-transform chain, SURVEY.md §A.3).
+    """
+    params = params or VisibilityParams()
+    pos = np.asarray(pos, np.float32)
+    n = len(pos)
+    if geometric is None:
+        geometric = _geo.pca_features(pos, k=min(50, max(4, n - 1)))
+
+    per_image = []
+    seen_matrix = np.zeros((n, len(cams)), bool)
+    for i, cam in enumerate(cams):
+        idx_map, _, x_proj, y_proj, dist, valid = _vis.splat_zbuffer(
+            cam, pos, voxel=params.voxel, k_swell=params.k_swell,
+            d_swell=params.d_swell, exact=params.exact,
+            max_splat=params.max_splat,
+        )
+        idx_map = np.asarray(idx_map)
+        pts, xs, ys = _image_mappings_dense(idx_map)
+        if len(pts) == 0:
+            per_image.append(None)
+            continue
+        order = np.argsort(pts, kind="stable")
+        pts, xs, ys = pts[order], xs[order], ys[order]
+        upts, starts = np.unique(pts, return_index=True)
+        seen_matrix[upts, i] = True
+
+        center = np.asarray(cam.center())
+        to_img = pos[upts] - center[None]
+        feats6 = np.asarray(
+            _vis.postprocess_features(
+                to_img,
+                np.asarray(y_proj)[upts],
+                np.asarray(dist)[upts],
+                geometric["linearity"][upts],
+                geometric["planarity"][upts],
+                geometric["scattering"][upts],
+                geometric["normal"][upts],
+                img_height=cam.size[1],
+                r_min=cam.r_min,
+                r_max=cam.r_max,
+            )
+        )
+        per_image.append(
+            dict(upts=upts, starts=starts, pts=pts, xs=xs, ys=ys, feats6=feats6)
+        )
+
+    # features 7-8: density (per point) and occlusion (per point,image) —
+    # NeighborhoodBasedMappingFeatures (data_transform/multimodal/image.py:431-612)
+    k = min(params.knn_k, max(1, n - 1))
+    d2, nn_idx = _knn.knn(pos, pos, k=k + 1)
+    d_k = np.sqrt(np.maximum(d2[:, -1], 1e-12))
+    density = ((k + 1) / (np.pi * d_k**2)) / (params.voxel ** -2)
+    # occlusion[p, i] = fraction of p's kNN seen by image i
+    occlusion = seen_matrix[nn_idx[:, 1:]].mean(axis=1)  # [n, len(cams)]
+
+    # assemble view & pixel tables, image-major then lexsorted by point
+    v_pid, v_img, v_feats = [], [], []
+    q_lists = []
+    for i, d in enumerate(per_image):
+        if d is None:
+            continue
+        m = len(d["upts"])
+        feats = np.zeros((m, NUM_VIEW_FEATURES), np.float32)
+        feats[:, :6] = d["feats6"]
+        feats[:, 6] = density[d["upts"]]
+        feats[:, 7] = occlusion[d["upts"], i]
+        v_pid.append(d["upts"])
+        v_img.append(np.full(m, i, np.int64))
+        v_feats.append(feats)
+        # pixel groups: counts per unique point in this image
+        counts = np.diff(np.append(d["starts"], len(d["pts"])))
+        q_lists.append((counts, d["xs"], d["ys"]))
+
+    if not v_pid:
+        return MultiViewMapping(
+            point_id=np.zeros(0, np.int32), image_id=np.zeros(0, np.int32),
+            view_feats=np.zeros((0, NUM_VIEW_FEATURES), np.float32),
+            view_valid=np.zeros(0, bool), pix_view=np.zeros(0, np.int32),
+            pix_x=np.zeros(0, np.int32), pix_y=np.zeros(0, np.int32),
+            pix_valid=np.zeros(0, bool), num_points=n, num_images=len(cams),
+        )
+
+    v_pid = np.concatenate(v_pid)
+    v_img = np.concatenate(v_img)
+    v_feats = np.concatenate(v_feats)
+    # views sorted by (point, image): stable sort on point keeps image order
+    order = np.argsort(v_pid, kind="stable")
+
+    # pixel rows follow their view; build per-view pixel slices pre-sort
+    counts_all = np.concatenate([c for c, _, _ in q_lists])
+    xs_all = np.concatenate([x for _, x, _ in q_lists])
+    ys_all = np.concatenate([y for _, _, y in q_lists])
+    view_starts = np.concatenate([[0], np.cumsum(counts_all)])[:-1]
+
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    # new view index of each pixel = inv[old view index]
+    pix_view_old = np.repeat(np.arange(len(counts_all)), counts_all)
+    pix_view_new = inv[pix_view_old]
+    pix_order = np.argsort(pix_view_new, kind="stable")
+
+    out = MultiViewMapping(
+        point_id=v_pid[order].astype(np.int32),
+        image_id=v_img[order].astype(np.int32),
+        view_feats=v_feats[order],
+        view_valid=np.ones(len(order), bool),
+        pix_view=pix_view_new[pix_order].astype(np.int32),
+        pix_x=xs_all[pix_order],
+        pix_y=ys_all[pix_order],
+        pix_valid=np.ones(len(pix_order), bool),
+        num_points=n,
+        num_images=len(cams),
+    )
+    out.check()
+    return out

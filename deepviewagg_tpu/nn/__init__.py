@@ -1,0 +1,5 @@
+"""Flax neural modules: norms, sparse-conv blocks, the Res16UNet family."""
+
+from . import norm  # noqa: F401
+from . import sparse_blocks  # noqa: F401
+from . import res16unet  # noqa: F401

@@ -1,0 +1,106 @@
+"""Validity-masked normalization layers.
+
+The reference normalizes sparse-voxel features with BatchNorm over all active
+voxels (MinkowskiEngine / torchsparse BatchNorm consumed via
+modules/SparseConv3d/nn/__init__.py).  Our static-shape sparse tensors carry
+padding rows, so the statistics must be computed over *valid* rows only.
+
+Under ``jit`` with a sharded batch, plain ``jnp.sum`` over the sharded axis
+already yields global (cross-device) statistics — XLA inserts the collectives
+— so the same module works single-chip and under a data-parallel mesh with no
+axis_name plumbing.  Inside ``shard_map``, pass ``axis_name`` to get explicit
+``psum`` cross-device stats.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["MaskedBatchNorm", "MaskedGroupNorm"]
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the row axis with a validity mask.
+
+    ``x`` is ``[N, C]``; ``valid`` is ``bool [N]``.  Running statistics live
+    in the ``batch_stats`` collection (flax convention).  ``momentum`` follows
+    the torch default the reference uses (running = 0.9*old + 0.1*new,
+    models/base_model.py BN usage).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid=None, train: bool = True):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        if train:
+            if valid is None:
+                w = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+            else:
+                w = valid.astype(jnp.float32).reshape(valid.shape + (1,))
+            s1 = jnp.sum(xf * w, axis=tuple(range(xf.ndim - 1)))
+            s2 = jnp.sum(xf * xf * w, axis=tuple(range(xf.ndim - 1)))
+            n = jnp.sum(w)
+            if self.axis_name is not None:
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+                n = jax.lax.psum(n, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm over channels, computed per row — padding-independent.
+
+    Used by the 2D towers (the reference replaces BatchNorm with
+    GroupNorm + weight standardization in its trained-from-scratch image
+    encoders, modules/multimodal/modalities/image.py:53-126).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        while c % g:
+            g -= 1
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        shape = x.shape[:-1] + (g, c // g)
+        xg = xf.reshape(shape)
+        mean = xg.mean(axis=-1, keepdims=True)
+        var = xg.var(axis=-1, keepdims=True)
+        y = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(x.shape) * scale + bias
+        return y.astype(self.dtype)

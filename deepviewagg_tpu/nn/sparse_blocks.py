@@ -1,0 +1,122 @@
+"""Sparse-voxel conv blocks as flax modules.
+
+The parameterized counterparts of the reference's backend-switched sparse conv
+modules (modules/SparseConv3d/modules.py:10-220, built over torchsparse /
+MinkowskiEngine).  Convolution itself is the gather + single-MXU-matmul of
+:func:`deepviewagg_tpu.ops.sparse_conv.sparse_conv`; these modules own the
+weights and the norm/activation plumbing.
+
+All blocks take ``(feats [cap, C], nbr int32 [K, cap_out], valid bool)`` and
+return ``[cap_out, C']`` — neighbor tables come from the host-side graph
+builder (:mod:`deepviewagg_tpu.ops.sparse_graph`), never computed on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sparse_conv import sparse_conv
+from .norm import MaskedBatchNorm
+
+__all__ = ["SparseConv", "SparseConvNormRelu", "ResBlock", "BottleneckBlock"]
+
+
+def _kernel_init(key, shape, dtype=jnp.float32):
+    """He-normal over fan_in = K * Cin (what torch's kaiming gives the
+    reference's sparse convs)."""
+    k, cin, _ = shape
+    std = (2.0 / (k * cin)) ** 0.5
+    import jax.random as jrandom
+
+    return jrandom.normal(key, shape, dtype) * std
+
+
+class SparseConv(nn.Module):
+    """Bare sparse convolution: weights ``[K, Cin, Cout]`` + optional bias."""
+
+    out_channels: int
+    use_bias: bool = False
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        k = nbr.shape[0]
+        cin = feats.shape[-1]
+        w = self.param("kernel", _kernel_init, (k, cin, self.out_channels))
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        return sparse_conv(feats, w, nbr, bias=b, compute_dtype=self.compute_dtype)
+
+
+class SparseConvNormRelu(nn.Module):
+    """Conv -> masked BN -> ReLU, the reference's conv/norm/act triplet."""
+
+    out_channels: int
+    relu: bool = True
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid, train: bool = True):
+        x = SparseConv(self.out_channels)(feats, nbr)
+        x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Basic residual block (conv-bn-relu-conv-bn + skip), submanifold.
+
+    Mirrors modules/SparseConv3d/modules.py ResBlock /
+    MinkowskiEngine BasicBlock: a 1x1 (here: plain linear) downsample path
+    when channel counts differ.
+    """
+
+    out_channels: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid, train: bool = True):
+        x = SparseConvNormRelu(self.out_channels, momentum=self.momentum)(
+            feats, nbr, valid, train=train
+        )
+        x = SparseConvNormRelu(
+            self.out_channels, relu=False, momentum=self.momentum
+        )(x, nbr, valid, train=train)
+        if feats.shape[-1] != self.out_channels:
+            skip = nn.Dense(self.out_channels, use_bias=False)(feats)
+            skip = MaskedBatchNorm(momentum=self.momentum)(skip, valid, train=train)
+        else:
+            skip = feats
+        return nn.relu(x + skip)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (Res16UNet50/101 variants,
+    modules/MinkowskiEngine/res16unet.py Bottleneck)."""
+
+    out_channels: int
+    reduction: int = 4
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid, train: bool = True):
+        mid = self.out_channels // self.reduction
+        x = nn.Dense(mid, use_bias=False)(feats)
+        x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
+        x = nn.relu(x)
+        x = SparseConvNormRelu(mid, momentum=self.momentum)(x, nbr, valid, train=train)
+        x = nn.Dense(self.out_channels, use_bias=False)(x)
+        x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
+        if feats.shape[-1] != self.out_channels:
+            skip = nn.Dense(self.out_channels, use_bias=False)(feats)
+            skip = MaskedBatchNorm(momentum=self.momentum)(skip, valid, train=train)
+        else:
+            skip = feats
+        return nn.relu(x + skip)

@@ -20,7 +20,12 @@ import numpy as np
 from . import kernel_map as _km
 from . import voxel as _voxel
 
-__all__ = ["LevelArrays", "SparseGraphArrays", "build_unet_graph"]
+__all__ = [
+    "LevelArrays",
+    "SparseGraphArrays",
+    "build_unet_graph",
+    "graph_to_device",
+]
 
 
 @dataclasses.dataclass
@@ -130,6 +135,31 @@ def build_unet_graph(
             )
         )
     return SparseGraphArrays(levels=levels, conv0_map=conv0_map)
+
+
+def graph_to_device(graph: SparseGraphArrays) -> dict:
+    """Flatten a host graph into the plain-array pytree the models consume.
+
+    Per level: ``valid bool [cap]``, ``batch_idx int32 [cap]``, ``sub_nbr
+    int32 [K, cap]``; non-last levels add ``down_nbr [K2, cap_next]``,
+    ``up_nbr [K2, cap]`` (the transposed down map feeding the decoder's
+    up-conv) and ``parent int32 [cap]`` (the 'merge' reindex for carrying
+    point->image mappings across strides).  Everything stays numpy — jit
+    transfers it once per batch.
+    """
+    levels = []
+    for lvl in graph.levels:
+        d = {
+            "valid": lvl.valid,
+            "batch_idx": lvl.batch_idx,
+            "sub_nbr": lvl.sub_map.nbr,
+        }
+        if lvl.down_map is not None:
+            d["down_nbr"] = lvl.down_map.nbr
+            d["up_nbr"] = lvl.down_map.transpose().nbr
+            d["parent"] = lvl.parent
+        levels.append(d)
+    return {"levels": levels, "conv0_nbr": graph.conv0_map.nbr}
 
 
 def _build_padded_map(in_c, out_c, ks, stride, cap_in, cap_out):
