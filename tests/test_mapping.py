@@ -17,9 +17,9 @@ from deepviewagg_tpu.data.mapping_factory import VisibilityParams, build_mapping
 
 @pytest.fixture(scope="module")
 def scene_and_mapping():
-    scene = synthetic.make_scene(seed=1, density=400.0, n_cameras=2,
-                                 image_size=(96, 48))
-    params = VisibilityParams(voxel=0.08, exact=False, max_splat=6)
+    scene = synthetic.make_scene(seed=1, density=150.0, n_cameras=2,
+                                 image_size=(160, 80))
+    params = VisibilityParams(voxel=0.1, exact=False, max_splat=6)
     mapping = build_mappings(scene.pos, scene.cameras, params)
     return scene, mapping
 
@@ -46,7 +46,7 @@ def test_mapping_renders_room(scene_and_mapping):
     imgs = synthetic.render_views(scene, m)
     covered = (imgs.sum(axis=-1) > 0).mean(axis=(1, 2))
     # panoramas inside a closed room: most pixels should be painted
-    assert (covered > 0.25).all(), covered
+    assert (covered > 0.8).all(), covered
 
 
 def test_merge_points_preserves_views(scene_and_mapping):
