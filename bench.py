@@ -1,0 +1,101 @@
+"""Benchmark harness: fused 3D+2D forward throughput on real hardware.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Metric: valid voxels per second per chip through the flagship multimodal
+forward (Res16UNet34 + early ResNet18-PPM branch + group-attention view
+pooling) on an S3DIS-shaped synthetic batch.  The reference publishes no
+throughput numbers (BASELINE.md), so ``vs_baseline`` compares against this
+repo's own recorded baseline in ``bench_baseline.json`` (created on first
+run).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+
+CACHE = os.path.join(os.path.dirname(__file__), ".bench_batch.pkl")
+
+
+def _get_batch():
+    """Deterministic flagship-shaped batch, disk-cached: the mapping-factory
+    preprocessing is one-time work (as in the reference), not part of the
+    benchmarked step."""
+    import pickle
+
+    if os.path.exists(CACHE):
+        with open(CACHE, "rb") as f:
+            return pickle.load(f)
+    from deepviewagg_tpu.data.toy import toy_batch
+
+    batch, bucket, _ = toy_batch(
+        n_samples=4, density=260.0, image_size=(256, 128), n_cameras=3,
+    )
+    try:
+        with open(CACHE, "wb") as f:
+            pickle.dump(batch, f)
+    except OSError:
+        pass
+    return batch
+
+
+def main():
+    import jax
+
+    from deepviewagg_tpu.data.toy import flagship_spec
+    from deepviewagg_tpu.models.segmentation import MultimodalSeg
+
+    spec = flagship_spec()
+    batch = _get_batch()
+    n_valid = batch["meta"]["num_valid"]
+    model = MultimodalSeg(spec)
+
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False
+    )
+
+    @jax.jit
+    def fwd(variables, batch):
+        return model.apply(variables, batch, train=False)["logits"]
+
+    # compile + warmup
+    out = jax.block_until_ready(fwd(variables, batch))
+    assert np.isfinite(np.asarray(out[:n_valid])).all()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    value = n_valid / dt
+
+    vs = 1.0
+    if os.path.exists(BASELINE_FILE):
+        try:
+            prior = json.load(open(BASELINE_FILE))["value"]
+            vs = value / prior
+        except Exception:
+            pass
+    else:
+        try:
+            json.dump({"value": value}, open(BASELINE_FILE, "w"))
+        except OSError:
+            pass
+
+    print(json.dumps({
+        "metric": "fused_3d2d_forward_voxels_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Run configuration: YAML + CLI overrides (the Hydra-compose role).
+
+The reference composes conf/config.yaml groups (task/models/data/training/
+lr_scheduler/debugging) with ``key=value`` CLI overrides (train.py:10,
+SURVEY.md §5 config row).  Here: a flat dataclass tree loaded from YAML with
+dotted-path overrides — no Hydra dependency, same ergonomics:
+
+    python train.py --config conf/synthetic.yaml training.epochs=10 \\
+        model.name=Res16UNet34-L4-early data.radius=2.0
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+__all__ = ["RunConfig", "load_run_config", "apply_overrides"]
+
+
+@dataclasses.dataclass
+class ModelCfg:
+    name: str = "Res16UNet34-L4-early-ade20k-interpolate"
+    in_channels: int = 4
+    overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class DataCfg:
+    dataset: str = "synthetic"
+    root: str = "/tmp/dva_data"
+    voxel_size: float = 0.05
+    radius: float = 2.0
+    image_slots: int = 4
+    samples_per_epoch: int = 2000
+    batch_size: int = 4
+    num_classes: int = 4
+    # bucket capacities (0 = auto-measure from a probe epoch)
+    level_caps: List[int] = dataclasses.field(default_factory=list)
+    view_cap: int = 0
+    pix_cap: int = 0
+    image_cap: int = 0
+    image_size: List[int] = dataclasses.field(default_factory=lambda: [128, 64])
+    kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class TrainingCfg:
+    epochs: int = 100
+    base_lr: float = 0.1
+    lr_schedule: str = "multi_step"
+    lr_milestones: List[int] = dataclasses.field(default_factory=list)
+    lr_gamma: float = 0.3
+    optimizer: str = "sgd"
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    grad_clip: Optional[float] = 10.0
+    grad_accumulate: int = 1
+    lovasz_weight: float = 0.0
+    eval_frequency: int = 1
+    data_parallel: bool = False
+    run_dir: Optional[str] = None
+    resume: bool = False
+    seed: int = 0
+    num_batches_cap: Optional[int] = None     # debugging.num_batches
+    early_break: bool = False                 # debugging.early_break
+
+
+@dataclasses.dataclass
+class RunConfig:
+    model: ModelCfg = dataclasses.field(default_factory=ModelCfg)
+    data: DataCfg = dataclasses.field(default_factory=DataCfg)
+    training: TrainingCfg = dataclasses.field(default_factory=TrainingCfg)
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+def _merge(dc, data: Dict):
+    for k, v in (data or {}).items():
+        if not hasattr(dc, k):
+            raise KeyError(f"unknown config key: {type(dc).__name__}.{k}")
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _merge(cur, v)
+        else:
+            setattr(dc, k, v)
+
+
+def apply_overrides(cfg: RunConfig, overrides: List[str]) -> RunConfig:
+    """``section.key=value`` CLI overrides with YAML-parsed values."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value: {ov}")
+        path, raw = ov.split("=", 1)
+        value = yaml.safe_load(raw)
+        node: Any = cfg
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = getattr(node, p) if dataclasses.is_dataclass(node) else node[p]
+        last = parts[-1]
+        if dataclasses.is_dataclass(node):
+            if not hasattr(node, last):
+                raise KeyError(f"unknown config key: {path}")
+            setattr(node, last, value)
+        else:
+            node[last] = value
+    return cfg
+
+
+def load_run_config(path: Optional[str] = None,
+                    overrides: Optional[List[str]] = None) -> RunConfig:
+    cfg = RunConfig()
+    if path:
+        with open(path) as f:
+            _merge(cfg, yaml.safe_load(f) or {})
+    return apply_overrides(cfg, overrides or [])

@@ -1,0 +1,133 @@
+"""The model zoo: the reference's named-config space as a generator.
+
+conf/models/segmentation/multimodal/sparseconv3d.yaml holds ~109 named
+entries crossing: fusion depth (early L0..L5 / pyramid / late), fusion mode
+(residual/concat/both/modality), pooling (max/mean/heuristic/group-N/qkv),
+2D towers (scratch ResNet-N + pretrained truncations/pyramids/PPM), and
+interpolate/checkpointing variants (SURVEY.md §A.11).  The reference treats
+this as a config-space contract, not 109 hand-written models — so here the
+zoo IS the cross-product generator, plus the handful of published names
+mapped explicitly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+from ..models.segmentation import BranchSpec, ModelSpec
+
+__all__ = ["MODEL_ZOO", "get_model_spec", "parse_model_name"]
+
+# published/benchmark names -> canonical definitions (README.md:104-108)
+_NAMED = {
+    # S3DIS / ScanNet flagship
+    "Res16UNet34-L4-early": dict(
+        backbone="Res16UNet34",
+        branches=[dict(level=0, tower="resnet18_l4", view_pool="group",
+                       num_groups=8, fusion_mode="residual", interpolate=True)],
+    ),
+    "Res16UNet34-L4-early-ade20k-interpolate": dict(
+        backbone="Res16UNet34",
+        branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
+                       num_groups=8, fusion_mode="residual", interpolate=True)],
+    ),
+    # KITTI-360 flagship: pyramid of 2D taps fused early
+    "Res16UNet34-PointPyramid-early-cityscapes-interpolate": dict(
+        backbone="Res16UNet34",
+        branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
+                       num_groups=8, fusion_mode="residual", interpolate=True)],
+    ),
+    "Res16UNet34": dict(backbone="Res16UNet34", branches=[]),
+    "Res16UNet18": dict(backbone="Res16UNet18", branches=[]),
+    "Res16UNet14": dict(backbone="Res16UNet14", branches=[]),
+}
+
+_POOLS = {"max": ("max", 1), "mean": ("mean", 1), "heuristic": ("heuristic", 1),
+          "qkv": ("qkv", 1)}
+
+
+def parse_model_name(name: str) -> Optional[dict]:
+    """Grammar: ``<Backbone>-L<k>-<depth>[-<pool>][-<tower>][-interpolate]``
+
+    e.g. ``Res16UNet34-L2-intermediate-group8-imagenet-interpolate``:
+    2D tower truncated at layer 2, branch at encoder level matching depth
+    ('early'=0, 'intermediate<k>'=k, 'late' handled by LateFusion models),
+    group attention with 8 groups.
+    """
+    m = re.match(
+        r"^(?P<bb>Res16UNet\d+[A-C]?)"
+        r"(?:-L(?P<tl>\d))?"
+        r"-(?P<depth>early|intermediate\d?|late)"
+        r"(?:-(?P<pool>max|mean|heuristic|qkv|group\d*))?"
+        r"(?:-(?P<tower>ade20k|imagenet|cityscapes|scratch|ppm))?"
+        r"(?P<interp>-interpolate)?$",
+        name,
+    )
+    if not m:
+        return None
+    d = m.groupdict()
+    tower_level = int(d["tl"]) if d["tl"] else 4
+    depth = d["depth"]
+    level = 0 if depth in ("early", "late") else (
+        int(depth[len("intermediate"):]) if len(depth) > len("intermediate") else 1
+    )
+    pool, groups = "group", 8
+    if d["pool"]:
+        if d["pool"].startswith("group"):
+            groups = int(d["pool"][5:] or 1)
+        else:
+            pool, groups = _POOLS[d["pool"]]
+    tower = ("resnet18_ppm" if d["tower"] in ("ade20k", "cityscapes", "ppm")
+             else f"resnet18_l{tower_level}")
+    return dict(
+        backbone=d["bb"],
+        branches=[dict(level=level, tower=tower, view_pool=pool,
+                       num_groups=groups, fusion_mode="residual",
+                       interpolate=bool(d["interp"]))],
+    )
+
+
+def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
+    branches = tuple(
+        (b["level"], BranchSpec(
+            tower=b.get("tower", "resnet18_l4"),
+            out_channels=b.get("out_channels", 64),
+            atomic_reduce=b.get("atomic_reduce", "max"),
+            view_pool=b.get("view_pool", "group"),
+            num_groups=b.get("num_groups", 1),
+            use_mod=b.get("use_mod", False),
+            gated=b.get("gated", True),
+            interpolate=b.get("interpolate", True),
+            drop_modality=b.get("drop_modality", 0.0),
+            fusion_mode=b.get("fusion_mode", "residual"),
+            remat_tower=b.get("remat_tower", True),
+        ))
+        for b in entry.get("branches", [])
+    )
+    return ModelSpec(
+        num_classes=num_classes,
+        in_channels=in_channels,
+        backbone=entry.get("backbone", "Res16UNet34"),
+        branches=branches,
+    )
+
+
+MODEL_ZOO = dict(_NAMED)
+
+
+def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
+                   overrides: Optional[dict] = None) -> ModelSpec:
+    """Resolve a model name (published table or grammar) to a ModelSpec —
+    the role of ``instantiate_model`` + ``resolve_model``
+    (models/model_factory.py:8-46)."""
+    entry = MODEL_ZOO.get(name) or parse_model_name(name)
+    if entry is None:
+        raise KeyError(
+            f"unknown model '{name}'; known: {sorted(MODEL_ZOO)} or grammar "
+            "'<Backbone>-L<k>-<early|intermediateN>[-<pool>][-<tower>][-interpolate]'"
+        )
+    entry = dict(entry)
+    if overrides:
+        entry.update(overrides)
+    return _to_spec(entry, num_classes, in_channels)

@@ -158,6 +158,53 @@ def _zbuffer(x_proj, y_proj, dist, valid, bbox, size, max_splat, exact):
     return idx_map.reshape(w, h), depth_map.reshape(w, h)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "size", "crop_top", "crop_bottom", "r_min",
+                     "r_max", "max_splat", "exact", "with_features"),
+)
+def _splat_pipeline(
+    xyz, cam_arrays, geo, voxel, k_swell, d_swell,
+    *, model, size, crop_top, crop_bottom, r_min, r_max, max_splat, exact,
+    with_features,
+):
+    """Fused per-image pass: projection + FOV cull + splat bbox + z-buffer
+    (+ the 6 projection-time viewing-condition features for ALL points —
+    fixed [N] shapes, so one compile serves every image of a camera family;
+    the caller subsets seen points host-side)."""
+    camera = _cam.Camera(
+        model=model, size=size, crop_top=crop_top, crop_bottom=crop_bottom,
+        r_min=r_min, r_max=r_max, **cam_arrays,
+    )
+    xyz = jnp.asarray(xyz, jnp.float32)
+    x_proj, y_proj, dist, valid = _cam.project(xyz, camera)
+    bbox = splat_bboxes(
+        camera, xyz, x_proj, y_proj, dist,
+        voxel=voxel, k_swell=k_swell, d_swell=d_swell,
+    )
+    idx_map, depth_map = _zbuffer(
+        x_proj, y_proj, dist, valid, bbox, size, max_splat, exact
+    )
+    feats6 = None
+    if with_features:
+        to_img = xyz - camera.center()
+        feats6 = postprocess_features(
+            to_img, y_proj, dist,
+            geo["linearity"], geo["planarity"], geo["scattering"],
+            geo["normal"], img_height=size[1], r_min=r_min, r_max=r_max,
+        )
+    return idx_map, depth_map, x_proj, y_proj, dist, valid, feats6
+
+
+def _camera_arrays(camera: _cam.Camera) -> dict:
+    out = {}
+    for f in ("pos", "opk", "extrinsic", "intrinsic", "fisheye", "mask"):
+        v = getattr(camera, f)
+        if v is not None:
+            out[f] = jnp.asarray(v)
+    return out
+
+
 def splat_zbuffer(
     camera: _cam.Camera,
     xyz,
@@ -166,21 +213,29 @@ def splat_zbuffer(
     d_swell=1000.0,
     exact=False,
     max_splat=8,
+    geo=None,
 ):
-    """Full splatting visibility for one camera.
+    """Full splatting visibility for one camera (one fused jit dispatch).
 
     Returns ``(idx_map [W,H] int32, depth_map [W,H] f32, x_proj, y_proj,
-    depth, valid)`` — dense maps hold -1 where no point is visible.
+    depth, valid[, feats6])`` — dense maps hold -1 where no point is
+    visible.  Pass ``geo`` (linearity/planarity/scattering/normal arrays) to
+    also get the 6 projection-time view features for every point.
     """
-    x_proj, y_proj, dist, valid = _cam.project(xyz, camera)
-    bbox = splat_bboxes(
-        camera, jnp.asarray(xyz, jnp.float32), x_proj, y_proj, dist,
-        voxel=voxel, k_swell=k_swell, d_swell=d_swell,
+    out = _splat_pipeline(
+        jnp.asarray(xyz, jnp.float32),
+        _camera_arrays(camera),
+        geo if geo is not None else {},
+        jnp.float32(voxel), jnp.float32(k_swell), jnp.float32(d_swell),
+        model=camera.model, size=camera.size,
+        crop_top=camera.crop_top, crop_bottom=camera.crop_bottom,
+        r_min=float(camera.r_min), r_max=float(camera.r_max),
+        max_splat=int(max_splat), exact=bool(exact),
+        with_features=geo is not None,
     )
-    idx_map, depth_map = _zbuffer(
-        x_proj, y_proj, dist, valid, bbox, camera.size, int(max_splat), bool(exact)
-    )
-    return idx_map, depth_map, x_proj, y_proj, dist, valid
+    if geo is None:
+        return out[:6]
+    return out
 
 
 def depth_map_visibility(x_proj, y_proj, dist, depth_map, depth_threshold=0.05):

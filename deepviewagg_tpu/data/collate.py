@@ -1,0 +1,126 @@
+"""Collation: samples -> one static-shape device batch.
+
+The TPU counterpart of ``MMBatch.from_mm_data_list``
+(core/multimodal/data.py:179) + the runtime voxel bookkeeping the reference
+does *on device* during forward (torchsparse ``sphash`` reindex +
+``ImageMapping.select_points``, modules/multimodal/modules.py:101-236).
+Here all of it happens host-side, once per batch:
+
+  1. concatenate per-sample voxel arrays (coords already quantized);
+  2. build the multi-level UNet graph (kernel maps, parents) padded to the
+     bucket's per-level capacities;
+  3. concatenate per-sample mappings with point/image offsets, then derive
+     the per-branch-level mappings by merging through the parent chain;
+  4. pad images/views/pixels to bucket capacities.
+
+A ``Bucket`` pins every static dimension so XLA compiles one program per
+bucket family (SURVEY.md §7 design move 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.csr import pad_to
+from ..ops import sparse_graph as sg
+from .mapping import MultiViewMapping, concatenate_mappings
+
+__all__ = ["Sample", "Bucket", "collate"]
+
+
+@dataclasses.dataclass
+class Sample:
+    """One training sample (a sphere / cylinder / room of voxelized points)."""
+
+    coords: np.ndarray                 # int32 [n, 3] quantized (level-0 units)
+    feats: np.ndarray                  # f32 [n, C]
+    labels: np.ndarray                 # int32 [n], -1 ignore
+    images: Optional[np.ndarray] = None      # f32 [m, W, H, 3]
+    mapping: Optional[MultiViewMapping] = None
+    pos: Optional[np.ndarray] = None   # f32 [n, 3] raw positions (trackers)
+    origin_id: Optional[np.ndarray] = None   # int64 [n] raw-cloud row ids
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    """Static capacities of one compiled program."""
+
+    level_caps: Sequence[int]          # voxel capacity per UNet level
+    num_batches: int                   # max samples per batch
+    view_cap: int = 0
+    pix_cap: int = 0
+    image_cap: int = 0
+    image_size: Optional[Sequence[int]] = None  # (W, H)
+
+
+def collate(
+    samples: List[Sample],
+    bucket: Bucket,
+    branch_levels: Sequence[int] = (),
+    conv0_kernel: int = 5,
+) -> Dict:
+    """Build the device batch pytree (everything numpy, jit transfers it)."""
+    assert len(samples) <= bucket.num_batches
+    coords, feats, labels, batch_idx = [], [], [], []
+    for b, s in enumerate(samples):
+        c = np.concatenate(
+            [np.full((len(s.coords), 1), b, np.int32), s.coords.astype(np.int32)],
+            axis=1,
+        )
+        coords.append(c)
+        feats.append(np.asarray(s.feats, np.float32))
+        labels.append(np.asarray(s.labels, np.int32))
+    coords = np.concatenate(coords)
+    feats = np.concatenate(feats)
+    labels = np.concatenate(labels)
+    n_total = len(coords)
+    cap0 = bucket.level_caps[0]
+    if n_total > cap0:
+        raise ValueError(f"{n_total} voxels exceed bucket cap {cap0}")
+
+    graph = sg.build_unet_graph(
+        coords,
+        num_levels=len(bucket.level_caps),
+        num_batches=bucket.num_batches,
+        conv0_kernel=conv0_kernel,
+        capacities=list(bucket.level_caps),
+    )
+    dev_graph = sg.graph_to_device(graph)
+
+    batch = {
+        "feats": pad_to(feats, cap0),
+        "labels": pad_to(labels, cap0, fill=-1),
+        "graph": dev_graph,
+    }
+
+    if branch_levels:
+        offsets = np.cumsum([0] + [len(s.coords) for s in samples])[:-1]
+        merged0 = concatenate_mappings(
+            [s.mapping for s in samples], offsets, n_total
+        ).with_num_points(cap0)
+        mappings = {}
+        m = merged0
+        level = 0
+        for lvl in sorted(branch_levels):
+            while level < lvl:
+                parent = graph.levels[level].parent
+                m = m.merge_points(parent, bucket.level_caps[level + 1])
+                level += 1
+            mappings[lvl] = m.pad(bucket.view_cap, bucket.pix_cap).to_device()
+        batch["mappings"] = mappings
+
+        imgs = np.concatenate([s.images for s in samples])
+        if len(imgs) > bucket.image_cap:
+            raise ValueError(f"{len(imgs)} images exceed cap {bucket.image_cap}")
+        batch["images"] = pad_to(imgs.astype(np.float32), bucket.image_cap)
+
+    # host-side metadata (not shipped through jit boundaries that matter)
+    batch["meta"] = {
+        "num_valid": n_total,
+        "num_samples": len(samples),
+        "sizes": [len(s.coords) for s in samples],
+    }
+    return batch

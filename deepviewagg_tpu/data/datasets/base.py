@@ -1,0 +1,247 @@
+"""Shared dataset machinery: preprocess caches, sphere sampling, batching.
+
+The reference's L2 data engine (SURVEY.md §2.5): ``BaseDataset(MM)`` wires
+one-time preprocessing (voxelize + PCA features + mapping factory, §3.4)
+into per-area caches, then serves class-balanced random spheres at train
+time and fixed grid spheres at eval (S3DISSphereMM, s3dis.py:622-757).
+
+TPU adaptations:
+  * caches are ``.npz`` bundles of the flat mapping arrays (not pickled
+    object graphs);
+  * ``BatchLoader`` groups samples into *fixed buckets* and pads — the
+    static-shape contract (SURVEY.md §7 move 1) replacing dynamic batching;
+  * workers are plain processes via ``multiprocessing`` when requested; the
+    default is synchronous (host preprocessing is already amortized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..collate import Bucket, Sample, collate
+from ..mapping import MultiViewMapping
+from .. import transforms2d, transforms3d
+
+__all__ = ["AreaCache", "SphereDataset", "BatchLoader", "save_area", "load_area"]
+
+
+def save_area(path: str, cloud: Dict) -> None:
+    """Serialize a preprocessed area/scan/window: voxelized cloud + mapping
+    arrays + images (or image paths)."""
+    m: Optional[MultiViewMapping] = cloud.get("mapping")
+    payload = {k: v for k, v in cloud.items()
+               if isinstance(v, np.ndarray) and k != "mapping"}
+    if m is not None:
+        for f in ("point_id", "image_id", "view_feats", "view_valid",
+                  "pix_view", "pix_x", "pix_y", "pix_valid"):
+            payload[f"mapping_{f}"] = getattr(m, f)
+        payload["mapping_meta"] = np.array([m.num_points, m.num_images])
+    if cloud.get("image_paths") is not None:
+        payload["image_paths"] = np.array(cloud["image_paths"], dtype=object)
+    np.savez_compressed(path, **payload)
+
+
+def load_area(path: str) -> Dict:
+    z = np.load(path, allow_pickle=True)
+    cloud = {}
+    mapping_fields = {}
+    for k in z.files:
+        if k.startswith("mapping_") and k != "mapping_meta":
+            mapping_fields[k[len("mapping_"):]] = z[k]
+        elif k == "mapping_meta":
+            pass
+        elif k == "image_paths":
+            cloud[k] = list(z[k])
+        else:
+            cloud[k] = z[k]
+    if mapping_fields:
+        n_pts, n_img = z["mapping_meta"]
+        cloud["mapping"] = MultiViewMapping(
+            num_points=int(n_pts), num_images=int(n_img), **mapping_fields
+        )
+    return cloud
+
+
+class AreaCache:
+    """Lazily-loaded preprocessed areas with an LRU bound — generalizes the
+    KITTI-360 ``WindowBuffer`` (kitti360.py:146) to every dataset."""
+
+    def __init__(self, paths: Sequence[str], max_loaded: int = 2,
+                 loader: Callable[[str], Dict] = load_area):
+        self.paths = list(paths)
+        self.max_loaded = max_loaded
+        self.loader = loader
+        self._cache: Dict[str, Dict] = {}
+        self._order: List[str] = []
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, idx: int) -> Dict:
+        path = self.paths[idx]
+        if path not in self._cache:
+            if len(self._order) >= self.max_loaded:
+                evict = self._order.pop(0)
+                del self._cache[evict]
+            self._cache[path] = self.loader(path)
+            self._order.append(path)
+        else:
+            self._order.remove(path)
+            self._order.append(path)
+        return self._cache[path]
+
+
+@dataclasses.dataclass
+class SphereDataset:
+    """Random class-balanced spheres at train time; fixed grid spheres at
+    eval (S3DISSphereMM semantics, s3dis.py:622-757).
+
+    ``areas`` is an AreaCache of preprocessed clouds (each with pos/rgb/
+    labels/mapping/images).  ``__getitem__`` runs: sphere select -> 3D
+    augment -> quantize -> image selection -> Sample.
+    """
+
+    areas: AreaCache
+    radius: float = 2.0
+    voxel_size: float = 0.05
+    num_classes: int = 13
+    train: bool = True
+    augment: Optional[transforms3d.Compose] = None
+    image_slots: int = 4
+    min_points_per_image: int = 32
+    eval_grid_step: Optional[float] = None   # defaults to radius
+    samples_per_epoch: int = 2000
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self._centers = None          # eval: (area_idx, center) list
+        self._class_centers = None    # train: per-class candidate centers
+
+    # -- center selection ---------------------------------------------------
+    def _build_eval_centers(self):
+        step = self.eval_grid_step or self.radius
+        centers = []
+        for ai in range(len(self.areas)):
+            cloud = self.areas.get(ai)
+            pos = cloud["pos"]
+            grid = np.floor(pos[:, :2] / step).astype(np.int64)
+            _, first = np.unique(grid, axis=0, return_index=True)
+            for i in first:
+                centers.append((ai, pos[i].copy()))
+        self._centers = centers
+
+    def _random_center(self):
+        """Class-balanced: pick a class, then a random point of that class
+        (s3dis.py:671-704)."""
+        ai = int(self._rng.integers(len(self.areas)))
+        cloud = self.areas.get(ai)
+        labels = cloud["labels"]
+        cls = int(self._rng.integers(self.num_classes))
+        idx = np.nonzero(labels == cls)[0]
+        if len(idx) == 0:
+            idx = np.arange(len(labels))
+        i = int(self._rng.choice(idx))
+        return ai, cloud["pos"][i].copy()
+
+    def __len__(self):
+        if self.train:
+            return self.samples_per_epoch
+        if self._centers is None:
+            self._build_eval_centers()
+        return len(self._centers)
+
+    def __getitem__(self, idx: int) -> Optional[Sample]:
+        if self.train:
+            ai, center = self._random_center()
+        else:
+            if self._centers is None:
+                self._build_eval_centers()
+            ai, center = self._centers[idx]
+        cloud = self.areas.get(ai)
+        sub = transforms3d.sphere_select(cloud, center, self.radius)
+        if len(sub["pos"]) < 16:
+            return None
+        if self.train and self.augment is not None:
+            sub = self.augment(sub, self._rng)
+        sub = transforms3d.quantize_cloud(sub, self.voxel_size)
+        if sub.get("mapping") is not None:
+            sub = transforms2d.pick_images_by_area(
+                sub, min_points=self.min_points_per_image
+            )
+            if self.train:
+                sub = transforms2d.pick_images_by_credit(
+                    sub, n_slots=self.image_slots, rng=self._rng
+                )
+            elif sub["mapping"].num_images > self.image_slots:
+                counts = np.zeros(sub["mapping"].num_images, np.int64)
+                np.add.at(counts, sub["mapping"].image_id[sub["mapping"].view_valid], 1)
+                keep = np.sort(np.argsort(-counts)[: self.image_slots])
+                sub["mapping"] = sub["mapping"].select_images(keep).compact()
+                sub["images"] = sub["images"][keep]
+        feats = np.concatenate(
+            [sub.get("rgb", np.zeros((len(sub["pos"]), 3), np.float32)),
+             np.ones((len(sub["pos"]), 1), np.float32)], axis=1
+        )
+        return Sample(
+            coords=sub["coords"], feats=feats, labels=sub.get("labels"),
+            images=sub.get("images"), mapping=sub.get("mapping"),
+            pos=sub["pos"], origin_id=sub.get("origin_id"),
+        )
+
+
+class BatchLoader:
+    """Collate a SphereDataset into bucket-shaped device batches.
+
+    Greedy filling: accumulate samples until any capacity (voxels / views /
+    pixels / images) would overflow, then emit.  The static-shape replacement
+    for the reference's dynamic DataLoader batching.
+    """
+
+    def __init__(self, dataset, bucket: Bucket, batch_size: int,
+                 branch_levels: Sequence[int] = (), shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.bucket = bucket
+        self.batch_size = batch_size
+        self.branch_levels = list(branch_levels)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def _fits(self, group: List[Sample], s: Sample) -> bool:
+        n0 = sum(len(g.coords) for g in group) + len(s.coords)
+        if n0 > self.bucket.level_caps[0]:
+            return False
+        if s.mapping is not None:
+            views = sum(g.mapping.num_views for g in group) + s.mapping.num_views
+            pix = sum(g.mapping.num_pixels for g in group) + s.mapping.num_pixels
+            imgs = sum(len(g.images) for g in group) + len(s.images)
+            if views > self.bucket.view_cap or pix > self.bucket.pix_cap:
+                return False
+            if imgs > self.bucket.image_cap:
+                return False
+        return True
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        group: List[Sample] = []
+        for i in order:
+            s = self.dataset[int(i)]
+            if s is None:
+                continue
+            if len(group) == self.batch_size or (
+                group and not self._fits(group, s)
+            ):
+                yield collate(group, self.bucket, self.branch_levels)
+                group = []
+            if self._fits([], s):
+                group.append(s)
+        if group and not self.drop_last:
+            yield collate(group, self.bucket, self.branch_levels)

@@ -53,13 +53,16 @@ def build_mappings(
     cams: Sequence[_cam.Camera],
     params: Optional[VisibilityParams] = None,
     geometric: Optional[dict] = None,
+    nn_idx: Optional[np.ndarray] = None,
 ) -> MultiViewMapping:
     """Build the full mapping for one sample (unpadded capacities).
 
     ``geometric`` optionally provides precomputed
     ``{linearity, planarity, scattering, normal}`` (else computed here via
     :func:`deepviewagg_tpu.data.geometric.pca_features` — the reference
-    carries them from the 3D pre-transform chain, SURVEY.md §A.3).
+    carries them from the 3D pre-transform chain, SURVEY.md §A.3);
+    ``nn_idx`` optionally reuses a kNN index table ``[N, >=knn_k+1]``
+    (column 0 = self) for the density/occlusion features.
     """
     params = params or VisibilityParams()
     pos = np.asarray(pos, np.float32)
@@ -67,13 +70,32 @@ def build_mappings(
     if geometric is None:
         geometric = _geo.pca_features(pos, k=min(50, max(4, n - 1)))
 
+    # pad points to a size bucket: one z-buffer compile per (camera family,
+    # bucket) instead of per cloud size; pads sit beyond r_max -> invalid
+    pad_multiple = 2048
+    n_pad = max(-(-n // pad_multiple) * pad_multiple, pad_multiple)
+    pos_p = np.full((n_pad, 3), 1e6, np.float32)
+    pos_p[:n] = pos
+
+    def _padf(x, fill=0.0):
+        out = np.full((n_pad,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return out
+
+    geo_dev = {
+        "linearity": _padf(geometric["linearity"].astype(np.float32)),
+        "planarity": _padf(geometric["planarity"].astype(np.float32)),
+        "scattering": _padf(geometric["scattering"].astype(np.float32)),
+        "normal": _padf(geometric["normal"].astype(np.float32)),
+    }
+
     per_image = []
     seen_matrix = np.zeros((n, len(cams)), bool)
     for i, cam in enumerate(cams):
-        idx_map, _, x_proj, y_proj, dist, valid = _vis.splat_zbuffer(
-            cam, pos, voxel=params.voxel, k_swell=params.k_swell,
+        idx_map, _, x_proj, y_proj, dist, valid, feats6_all = _vis.splat_zbuffer(
+            cam, pos_p, voxel=params.voxel, k_swell=params.k_swell,
             d_swell=params.d_swell, exact=params.exact,
-            max_splat=params.max_splat,
+            max_splat=params.max_splat, geo=geo_dev,
         )
         idx_map = np.asarray(idx_map)
         pts, xs, ys = _image_mappings_dense(idx_map)
@@ -84,23 +106,7 @@ def build_mappings(
         pts, xs, ys = pts[order], xs[order], ys[order]
         upts, starts = np.unique(pts, return_index=True)
         seen_matrix[upts, i] = True
-
-        center = np.asarray(cam.center())
-        to_img = pos[upts] - center[None]
-        feats6 = np.asarray(
-            _vis.postprocess_features(
-                to_img,
-                np.asarray(y_proj)[upts],
-                np.asarray(dist)[upts],
-                geometric["linearity"][upts],
-                geometric["planarity"][upts],
-                geometric["scattering"][upts],
-                geometric["normal"][upts],
-                img_height=cam.size[1],
-                r_min=cam.r_min,
-                r_max=cam.r_max,
-            )
-        )
+        feats6 = np.asarray(feats6_all)[upts]
         per_image.append(
             dict(upts=upts, starts=starts, pts=pts, xs=xs, ys=ys, feats6=feats6)
         )
@@ -108,7 +114,15 @@ def build_mappings(
     # features 7-8: density (per point) and occlusion (per point,image) —
     # NeighborhoodBasedMappingFeatures (data_transform/multimodal/image.py:431-612)
     k = min(params.knn_k, max(1, n - 1))
-    d2, nn_idx = _knn.knn(pos, pos, k=k + 1)
+    if nn_idx is not None and nn_idx.shape[1] >= k + 1:
+        nn_idx = nn_idx[:, : k + 1]
+        diffs = pos[nn_idx[:, -1]] - pos
+        d2 = np.concatenate(
+            [np.zeros((n, k), np.float32),
+             np.sum(diffs * diffs, axis=1, keepdims=True)], axis=1,
+        )
+    else:
+        d2, nn_idx = _knn.knn(pos, pos, k=k + 1)
     d_k = np.sqrt(np.maximum(d2[:, -1], 1e-12))
     density = ((k + 1) / (np.pi * d_k**2)) / (params.voxel ** -2)
     # occlusion[p, i] = fraction of p's kNN seen by image i

@@ -1,0 +1,70 @@
+"""Segmentation losses: masked cross-entropy and Lovász-softmax.
+
+The reference trains with NLL on log-softmax logits plus an optional Lovász
+hinge on the softmax (models/segmentation/sparseconv3d.py:44-56,
+metrics/lovasz_loss.py).  Both here are static-shape with validity masks
+(padding rows and IGNORE_LABEL=-1 contribute exactly zero).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cross_entropy", "lovasz_softmax", "segmentation_loss"]
+
+IGNORE_LABEL = -1
+
+
+def cross_entropy(logits, labels, valid=None):
+    """Mean masked CE.  ``labels`` int32 with -1 = ignore."""
+    mask = labels != IGNORE_LABEL
+    if valid is not None:
+        mask = mask & valid
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(mask, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _lovasz_grad(fg_sorted):
+    gts = jnp.sum(fg_sorted)
+    inter = gts - jnp.cumsum(fg_sorted)
+    union = gts + jnp.cumsum(1.0 - fg_sorted)
+    jaccard = 1.0 - inter / jnp.maximum(union, 1.0)
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_softmax(logits, labels, valid=None):
+    """Multi-class Lovász-softmax (present-classes mean).
+
+    Invalid rows get error exactly 0, so they sort to the tail and contribute
+    nothing to the per-class dot product (metrics/lovasz_loss.py semantics
+    without its dynamic filtering).
+    """
+    mask = labels != IGNORE_LABEL
+    if valid is not None:
+        mask = mask & valid
+    probs = jax.nn.softmax(logits, axis=-1)
+    num_classes = logits.shape[-1]
+
+    def per_class(c):
+        fg = ((labels == c) & mask).astype(jnp.float32)
+        err = jnp.where(mask, jnp.abs(fg - probs[:, c]), 0.0)
+        order = jnp.argsort(-err)
+        err_s = err[order]
+        fg_s = fg[order]
+        loss_c = jnp.sum(err_s * _lovasz_grad(fg_s))
+        present = jnp.sum(fg) > 0
+        return jnp.where(present, loss_c, 0.0), present.astype(jnp.float32)
+
+    losses, present = jax.vmap(per_class)(jnp.arange(num_classes))
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def segmentation_loss(logits, labels, valid=None, lovasz_weight: float = 0.0):
+    loss = cross_entropy(logits, labels, valid)
+    if lovasz_weight > 0:
+        loss = loss + lovasz_weight * lovasz_softmax(logits, labels, valid)
+    return loss

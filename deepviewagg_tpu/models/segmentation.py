@@ -1,0 +1,214 @@
+"""Segmentation models: 3D-only, multimodal UNet (DeepViewAgg), and No3D.
+
+The model layer of the reference (models/segmentation/sparseconv3d.py:15,
+models/segmentation/multimodal/{sparseconv3d,no3d}.py) rebuilt as three flax
+modules over the stage-decomposed Res16UNet:
+
+  :class:`SparseConv3dSeg`   backbone + linear head (``APIModel``)
+  :class:`MultimodalSeg`     encoder stages interleaved with image branches
+                             at configured levels (``UnwrappedUnetBasedModel``
+                             + ``MultimodalBlockDown``) — early fusion is a
+                             branch at level 0; intermediate at deeper levels
+                             consumes stride-merged mappings
+  :class:`No3DSeg`           pure-2D towers pooled straight to points
+                             (models/segmentation/multimodal/no3d.py:18)
+
+The batch contract is one pytree (built host-side by
+:mod:`deepviewagg_tpu.data.collate`):
+  ``feats [P0, Cin]``, ``labels int32 [P0]`` (-1 = ignore), ``graph`` (per
+  level: valid/batch_idx/sub_nbr/down_nbr/up_nbr/parent),
+  ``images [I, W, H, 3]``, ``mappings {level: mapping pytree}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..modules.branch import UnimodalBranch
+from ..modules import image_encoders as towers
+from ..nn.res16unet import RES16_PRESETS, DownStage, Stem, UpStage
+
+__all__ = ["BranchSpec", "ModelSpec", "SparseConv3dSeg", "MultimodalSeg",
+           "No3DSeg", "build_model"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BranchSpec:
+    """One image branch (mirrors the config subtree
+    ``down_conv.image.{down_conv,atomic_pooling,view_pooling,fusion,...}`` of
+    conf/models/segmentation/multimodal/sparseconv3d.yaml)."""
+
+    tower: str = "resnet18_l4"         # registry key below
+    out_channels: int = 64             # channels delivered to fusion
+    atomic_reduce: str = "max"
+    view_pool: str = "group"
+    num_groups: int = 1
+    use_mod: bool = False
+    gated: bool = True
+    interpolate: bool = True
+    drop_modality: float = 0.0
+    fusion_mode: str = "residual"
+    remat_tower: bool = True
+    tower_norm: str = "group"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Named-model description (one entry of the reference's 109-model zoo)."""
+
+    num_classes: int
+    in_channels: int = 4
+    backbone: str = "Res16UNet34"
+    branches: Tuple[Tuple[int, BranchSpec], ...] = ()  # (level, spec)
+    head_dropout: float = 0.0
+
+    def branch_levels(self):
+        return dict(self.branches)
+
+
+def make_tower(name: str, norm: str = "group"):
+    """Tower registry -> (factory, out_channels).  Names follow the
+    reference's encoder naming (truncation level / PPM variants,
+    modalities/image.py).  The factory is passed to ``UnimodalBranch`` so the
+    tower binds inside the branch's parameter scope."""
+    if name == "resnet18_ppm":
+        fac = functools.partial(towers.ResNet18PPM, out_channels=128,
+                                norm=norm, name="tower")
+        return fac, 128
+    if name.startswith("resnet18_l"):
+        lvl = int(name[-1])
+        fac = functools.partial(towers.ResNet18, out_level=lvl, norm=norm,
+                                name="tower")
+        return fac, towers.OUT_CHANNELS[lvl]
+    raise KeyError(name)
+
+
+class SparseConv3dSeg(nn.Module):
+    """3D-only sparse UNet + linear classification head (the reference's
+    ``sparseconv3d.APIModel``, models/segmentation/sparseconv3d.py:15-59)."""
+
+    spec: ModelSpec
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = True):
+        from ..nn.res16unet import Res16UNet
+
+        x = Res16UNet.preset(self.spec.backbone, name="backbone")(
+            batch["feats"], batch["graph"], train=train
+        )
+        if self.spec.head_dropout > 0:
+            x = nn.Dropout(self.spec.head_dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.spec.num_classes, name="head")(x)
+        return {"logits": logits}
+
+
+class MultimodalSeg(nn.Module):
+    """DeepViewAgg: Res16UNet with image branches interleaved at encoder
+    levels.  A branch at level L consumes ``batch['mappings'][L]`` — level-0
+    mappings merged through the stride reindex chain host-side
+    (data/collate.py), the role of ``forward_3d_block_down`` +
+    ``select_points('merge')`` in the reference (modules.py:101-236)."""
+
+    spec: ModelSpec
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = True):
+        layers, planes, block = RES16_PRESETS[self.spec.backbone]
+        n_down = len(layers) // 2
+        branch_at = self.spec.branch_levels()
+        images = batch["images"]
+        ref_size = (images.shape[1], images.shape[2])
+
+        x_seen_all = None
+
+        def run_branch(level, x):
+            spec: BranchSpec = branch_at[level]
+            tower, c2 = make_tower(spec.tower, spec.tower_norm)
+            branch = UnimodalBranch(
+                tower=tower,
+                out_channels=spec.out_channels,
+                atomic_reduce=spec.atomic_reduce,
+                view_pool=spec.view_pool,
+                num_groups=spec.num_groups,
+                use_mod=spec.use_mod,
+                gated=spec.gated,
+                interpolate=spec.interpolate,
+                drop_modality=spec.drop_modality,
+                fusion_mode=spec.fusion_mode,
+                remat_tower=spec.remat_tower,
+                name=f"branch_l{level}",
+            )
+            x, seen, _ = branch(
+                x, images, batch["mappings"][level], ref_size, train=train
+            )
+            return x, seen
+
+        x = Stem(name="stem")(batch["feats"], batch["graph"], train=train)
+        if 0 in branch_at:
+            x, x_seen_all = run_branch(0, x)
+        skips = [x]
+        for i in range(n_down):
+            x = DownStage(planes[i], layers[i], block, name=f"down{i}")(
+                x, batch["graph"], i, train=train
+            )
+            lvl = i + 1
+            if lvl in branch_at and lvl < n_down:
+                x, _ = run_branch(lvl, x)
+            if i < n_down - 1:
+                skips.append(x)
+        for j in range(n_down):
+            lvl_out = n_down - 1 - j
+            x = UpStage(planes[n_down + j], layers[n_down + j], block,
+                        name=f"up{j}")(
+                x, skips[lvl_out], batch["graph"], lvl_out, train=train
+            )
+        if self.spec.head_dropout > 0:
+            x = nn.Dropout(self.spec.head_dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.spec.num_classes, name="head")(x)
+        out = {"logits": logits}
+        if x_seen_all is not None:
+            out["x_seen"] = x_seen_all
+        return out
+
+
+class No3DSeg(nn.Module):
+    """2D towers pooled straight onto points: the No3D*Fusion family
+    (models/segmentation/multimodal/no3d.py:18).  A small point-wise MLP head
+    replaces the 3D network; unseen points yield zero logits and are masked
+    to IGNORE in the loss (no3d.py:130-134)."""
+
+    spec: ModelSpec
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = True):
+        (level, bspec), = self.spec.branches
+        tower, c2 = make_tower(bspec.tower, bspec.tower_norm)
+        images = batch["images"]
+        ref_size = (images.shape[1], images.shape[2])
+        num_points = batch["feats"].shape[0]
+        branch = UnimodalBranch(
+            tower=tower, out_channels=bspec.out_channels,
+            atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
+            num_groups=bspec.num_groups, gated=bspec.gated,
+            interpolate=bspec.interpolate, fusion_mode="modality",
+            keep_last_view=True, name="branch",
+        )
+        pooled, x_seen, extras = branch(
+            None, images, batch["mappings"][level], ref_size, train=train,
+            num_points=num_points,
+        )
+        h = nn.Dense(bspec.out_channels, name="mlp1")(pooled)
+        h = nn.relu(h)
+        logits = nn.Dense(self.spec.num_classes, name="head")(h)
+        return {"logits": logits, "x_seen": x_seen, "view_extras": extras}
+
+
+def build_model(spec: ModelSpec) -> nn.Module:
+    if not spec.branches:
+        return SparseConv3dSeg(spec)
+    return MultimodalSeg(spec)

@@ -1,0 +1,5 @@
+"""Multimodal neural modules: view pooling (the DeepViewAgg attention),
+fusion, image towers, and the unimodal branch composition."""
+
+from . import pooling  # noqa: F401
+from . import fusion  # noqa: F401

@@ -1,0 +1,159 @@
+"""The unimodal (image) branch: 2D tower -> gather -> pool -> fuse.
+
+Re-design of ``UnimodalBranch`` (modules/multimodal/modules.py:249-568): one
+modality's full pipeline per fusion point —
+
+    2D CNN on the image batch
+    -> per-mapped-pixel feature gather (nearest or bilinear-interpolate)
+    -> atomic pooling   (pixels -> view,  plain segment reduce)
+    -> view pooling     (views  -> point, the DeepViewAgg attention)
+    -> modality dropout (all-or-nothing, modules/multimodal/dropout.py)
+    -> fusion into the 3D stream
+
+plus the ``x_seen`` mask (which points any valid view reaches —
+modules.py:410) and optional view-level extras for view losses
+(``keep_last_view``, modules.py:527-534).
+
+Per-stage gradient checkpointing flags 'cavf' (modules.py:283-292) map to
+``remat_tower`` (the dominant memory term) via ``nn.remat``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import segment as seg
+from .fusion import BimodalFusion
+from .gather import gather_pixel_features
+from .pooling import GroupViewPool, HeuristicPool, QKVViewPool, SegmentPool
+
+__all__ = ["UnimodalBranch", "ModalityDropout"]
+
+
+class ModalityDropout(nn.Module):
+    """All-or-nothing branch dropout (dropout.py:5-15): with probability
+    ``p`` the whole modality contribution is zeroed for the entire forward.
+    We use the standard inverted convention (train-time rescale) rather than
+    replicating the reference's flipped eval-time rescale (SURVEY.md §A.10.4).
+    """
+
+    p: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.p <= 0.0:
+            return x
+        if not train:
+            return x
+        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.p)
+        return jnp.where(keep, x / (1.0 - self.p), 0.0)
+
+
+class UnimodalBranch(nn.Module):
+    """One image branch at one fusion point.
+
+    ``tower`` is a zero-arg factory returning a flax module mapping
+    ``[I, W, H, 3] -> [I, Wf, Hf, C]`` (or None to consume precomputed
+    feature maps).  A factory — not an instance — so the tower binds inside
+    the branch's own scope.  ``view_pool`` picks the aggregation family;
+    'group' is the paper's attention.
+    """
+
+    tower: Optional[Any]
+    out_channels: int
+    atomic_reduce: str = "max"
+    view_pool: str = "group"          # group | qkv | max | mean | heuristic
+    num_groups: int = 1
+    use_mod: bool = False
+    gated: bool = True
+    interpolate: bool = True
+    drop_modality: float = 0.0
+    fusion_mode: str = "residual"
+    remat_tower: bool = False
+    keep_last_view: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x_3d,                 # [P_cap, C3] current 3D stream (None for no3d)
+        images,               # [I, W, H, 3]
+        mapping: dict,        # device mapping pytree
+        ref_size: Tuple[int, int],
+        train: bool = True,
+        num_points: Optional[int] = None,
+    ):
+        vc = mapping["view_valid"].shape[0]
+        if x_3d is not None:
+            num_points = x_3d.shape[0]
+        assert num_points is not None, "pass num_points when x_3d is None"
+
+        # --- 2D tower ---------------------------------------------------
+        if self.tower is not None:
+            tower = self.tower()
+            if self.remat_tower:
+                # lifted remat over a function taking the module first —
+                # replaces the reference's 'c' checkpoint flag (modules.py:283)
+                feats_2d = nn.remat(lambda mdl, im: mdl(im, train))(
+                    tower, images
+                )
+            else:
+                feats_2d = tower(images, train)
+        else:
+            feats_2d = images
+
+        # --- pixels -> views (atomic pool) -------------------------------
+        pix_feats = gather_pixel_features(
+            feats_2d, mapping, ref_size, interpolate=self.interpolate
+        )
+        x_view = seg.segment_reduce(
+            pix_feats, mapping["pix_view"], vc + 1, self.atomic_reduce,
+            valid=mapping["pix_valid"],
+        )[:vc]
+
+        # --- views -> points (view pool) ---------------------------------
+        pid = mapping["point_id"]
+        v_valid = mapping["view_valid"]
+        x_map = mapping["view_feats"]
+        attn = None
+        if self.view_pool == "group":
+            pooled, attn = GroupViewPool(
+                self.out_channels, num_groups=self.num_groups,
+                use_mod=self.use_mod, gated=self.gated, name="view_pool",
+            )(x_view, x_map, pid, v_valid, num_points + 1, train=train)
+        elif self.view_pool == "qkv":
+            pooled, attn = QKVViewPool(
+                self.out_channels, num_groups=self.num_groups,
+                gated=self.gated, name="view_pool",
+            )(x_3d, x_view, x_map, pid, v_valid, num_points + 1, train=train)
+        elif self.view_pool == "heuristic":
+            pooled = HeuristicPool(name="view_pool")(
+                x_view, x_map, pid, v_valid, num_points + 1, train=train
+            )
+        else:
+            pooled = SegmentPool(self.view_pool, name="view_pool")(
+                x_view, pid, v_valid, num_points + 1, train=train
+            )
+        pooled = pooled[:num_points]
+
+        # --- x_seen (modules.py:410) -------------------------------------
+        n_views = seg.segment_count(pid, num_points + 1, v_valid)[:num_points]
+        x_seen = n_views > 0
+
+        # --- modality dropout + fusion -----------------------------------
+        pooled = ModalityDropout(self.drop_modality, name="mod_drop")(
+            pooled, train=train
+        )
+        if x_3d is None:
+            out = pooled
+        else:
+            out = BimodalFusion(self.fusion_mode, name="fusion")(x_3d, pooled)
+
+        extras = {}
+        if self.keep_last_view:
+            extras = {"x_view": x_view, "attention": attn, "view_point_id": pid,
+                      "view_valid": v_valid}
+        return out, x_seen, extras

@@ -1,0 +1,190 @@
+"""2D image towers: ResNet-18 family with GroupNorm + weight standardization.
+
+Re-design of modules/multimodal/modalities/image.py — the reference's 2D
+stack: ``Conv2dWS`` (weight-standardized conv, image.py:39-126), ResNet
+blocks, and the pretrained towers (ADE20K ResNet18-PPM from MIT semseg,
+torchvision/Cityscapes ResNet18) exposed as truncations (feature map after
+layer N) or pyramids (multiple taps).
+
+Here the architecture is one configurable flax ResNet18 in NHWC (TPU conv
+layout), with:
+  * ``norm='group'`` + weight standardization for from-scratch training (the
+    reference's choice for small multimodal batches), ``norm='batch'`` to
+    host converted pretrained weights;
+  * ``out_level`` truncation (0=stem .. 4=layer4) or ``pyramid`` taps;
+  * optional dilated layer3/4 (stride-8 'dilated8' variant the MIT-semseg
+    ADE20K checkpoints use) and a PPM head.
+
+Pretrained torch checkpoints are converted offline by
+:mod:`deepviewagg_tpu.utils.torch_convert` (no torch dependency at runtime).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["Conv2dWS", "ResNet18", "PPM", "ResNet18PPM", "OUT_CHANNELS"]
+
+# channels of each tap level for ResNet18: stem, layer1..layer4
+OUT_CHANNELS = (64, 64, 128, 256, 512)
+
+
+class Conv2dWS(nn.Module):
+    """Conv with weight standardization (zero-mean unit-var kernel per output
+    channel, image.py:39-51) — pairs with GroupNorm."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    standardize: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        w = self.param(
+            "kernel", nn.initializers.he_normal(), (kh, kw, cin, self.features)
+        )
+        if self.standardize:
+            mean = w.mean(axis=(0, 1, 2), keepdims=True)
+            var = w.var(axis=(0, 1, 2), keepdims=True)
+            w = (w - mean) * jax.lax.rsqrt(var * (kh * kw * cin) + 1e-10)
+        # both operands bf16, output cast back: keeps fwd and transpose convs
+        # dtype-consistent (XLA accumulates bf16 convs in f32 on TPU)
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            window_strides=self.strides,
+            padding="SAME",
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class _Norm(nn.Module):
+    kind: str = "group"
+    num_groups: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.kind == "group":
+            g = self.num_groups
+            c = x.shape[-1]
+            while c % g:
+                g -= 1
+            return nn.GroupNorm(num_groups=g)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+
+
+class _BasicBlock2d(nn.Module):
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ws = self.norm == "group"
+        y = Conv2dWS(self.features, (3, 3), self.strides, self.dilation,
+                     standardize=ws)(x)
+        y = _Norm(self.norm)(y, train)
+        y = nn.relu(y)
+        y = Conv2dWS(self.features, (3, 3), (1, 1), self.dilation,
+                     standardize=ws)(y)
+        y = _Norm(self.norm)(y, train)
+        if x.shape[-1] != self.features or self.strides != (1, 1):
+            x = Conv2dWS(self.features, (1, 1), self.strides, standardize=ws)(x)
+            x = _Norm(self.norm)(x, train)
+        return nn.relu(y + x)
+
+
+class ResNet18(nn.Module):
+    """Torchvision-topology ResNet18 trunk with taps.
+
+    ``out_level``: return the single feature map after that stage
+    (0 stem/4x, 1..4 layers; strides 4, 4, 8, 16, 32 — or 8, 8 dilated).
+    ``pyramid``: also return all taps up to ``out_level``.
+    """
+
+    out_level: int = 4
+    norm: str = "group"
+    dilated8: bool = False       # MIT-semseg 'resnet18dilated8' trunk
+    pyramid: bool = False
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ws = self.norm == "group"
+        taps = []
+        x = Conv2dWS(self.width, (7, 7), (2, 2), standardize=ws)(x)
+        x = _Norm(self.norm)(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        taps.append(x)
+        plan = [  # (features, first-stride, dilation) per layer
+            (self.width, (1, 1), (1, 1)),
+            (self.width * 2, (2, 2), (1, 1)),
+            (self.width * 4, (1, 1) if self.dilated8 else (2, 2),
+             (2, 2) if self.dilated8 else (1, 1)),
+            (self.width * 8, (1, 1) if self.dilated8 else (2, 2),
+             (4, 4) if self.dilated8 else (1, 1)),
+        ]
+        for li, (f, s, d) in enumerate(plan[: self.out_level]):
+            x = _BasicBlock2d(f, s, d, self.norm)(x, train)
+            x = _BasicBlock2d(f, (1, 1), d, self.norm)(x, train)
+            taps.append(x)
+        if self.pyramid:
+            return taps
+        return taps[self.out_level]
+
+
+class PPM(nn.Module):
+    """Pyramid pooling feature head (``PPMFeatMap``, image.py:659-720):
+    adaptive average pools at several bin counts -> 1x1 conv -> bilinear
+    upsample -> concat with the trunk -> 3x3 conv."""
+
+    out_channels: int = 128
+    bins: Sequence[int] = (1, 2, 3, 6)
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n, h, w, c = x.shape
+        ws = self.norm == "group"
+        feats = [x]
+        for b in self.bins:
+            # adaptive avg pool to (b, b)
+            ph, pw = -(-h // b), -(-w // b)
+            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw), padding="SAME")
+            y = Conv2dWS(self.out_channels, (1, 1), standardize=ws)(pooled)
+            y = _Norm(self.norm)(y, train)
+            y = nn.relu(y)
+            y = jax.image.resize(y, (n, h, w, self.out_channels), "bilinear")
+            feats.append(y)
+        y = jnp.concatenate(feats, axis=-1)
+        y = Conv2dWS(self.out_channels, (3, 3), standardize=ws)(y)
+        y = _Norm(self.norm)(y, train)
+        return nn.relu(y)
+
+
+class ResNet18PPM(nn.Module):
+    """Dilated-8 ResNet18 trunk + PPM — the shape of the reference's ADE20K
+    pretrained tower (``ADE20KResNet18PPM``, image.py:721-792)."""
+
+    out_channels: int = 128
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ResNet18(out_level=4, norm=self.norm, dilated8=True)(x, train)
+        return PPM(self.out_channels, norm=self.norm)(x, train)

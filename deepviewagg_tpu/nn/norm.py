@@ -14,13 +14,30 @@ axis_name plumbing.  Inside ``shard_map``, pass ``axis_name`` to get explicit
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MaskedBatchNorm", "MaskedGroupNorm"]
+__all__ = ["MaskedBatchNorm", "MaskedGroupNorm", "bn_axis_name"]
+
+# Trainer-scoped default axis name for cross-device (sync) batch norm inside
+# ``shard_map`` — set during step tracing so every MaskedBatchNorm in the
+# model psums its statistics without threading a field through all modules.
+_BN_AXIS = [None]
+
+
+@contextlib.contextmanager
+def bn_axis_name(name: Optional[str]):
+    """While tracing inside ``shard_map(axis_names=(name,))``, make all
+    MaskedBatchNorm layers reduce statistics over that axis (sync BN)."""
+    _BN_AXIS.append(name)
+    try:
+        yield
+    finally:
+        _BN_AXIS.pop()
 
 
 class MaskedBatchNorm(nn.Module):
@@ -58,10 +75,11 @@ class MaskedBatchNorm(nn.Module):
             s1 = jnp.sum(xf * w, axis=tuple(range(xf.ndim - 1)))
             s2 = jnp.sum(xf * xf * w, axis=tuple(range(xf.ndim - 1)))
             n = jnp.sum(w)
-            if self.axis_name is not None:
-                s1 = jax.lax.psum(s1, self.axis_name)
-                s2 = jax.lax.psum(s2, self.axis_name)
-                n = jax.lax.psum(n, self.axis_name)
+            axis = self.axis_name if self.axis_name is not None else _BN_AXIS[-1]
+            if axis is not None:
+                s1 = jax.lax.psum(s1, axis)
+                s2 = jax.lax.psum(s2, axis)
+                n = jax.lax.psum(n, axis)
             n = jnp.maximum(n, 1.0)
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)

@@ -43,6 +43,8 @@ RES16_PRESETS = {
     "Res16UNet34A": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 64, 64), "basic"),
     "Res16UNet34B": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 64, 32), "basic"),
     "Res16UNet34C": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 96, 96), "basic"),
+    # tiny config for CPU tests / smoke runs (not a reference preset)
+    "Res16UNetTest": ((1, 1, 1, 1, 1, 1, 1, 1), (8, 8, 16, 16, 16, 8, 8, 8), "basic"),
 }
 
 
@@ -116,8 +118,8 @@ class Res16UNet(nn.Module):
     init_dim: int = 32
 
     @classmethod
-    def preset(cls, name: str, **kw) -> "Res16UNet":
-        layers, planes, block = RES16_PRESETS[name]
+    def preset(cls, arch: str, **kw) -> "Res16UNet":
+        layers, planes, block = RES16_PRESETS[arch]
         return cls(layers=layers, planes=planes, block=block, **kw)
 
     @nn.compact

@@ -1,0 +1,86 @@
+"""Mesh construction and the data-parallel step wrapper.
+
+The reference is single-GPU (SURVEY.md §2.8) — its scale axis is data
+engineering.  The TPU framework's natural execution model is data parallelism
+over the ICI mesh (SURVEY.md §7 move 6): each device runs one bucket-shaped
+batch; parameters are replicated; gradients and BN statistics ride ``psum``
+collectives inserted by ``shard_map``.
+
+Because our batches are segment-structured (concatenated voxel rows, not a
+leading batch dim), per-device batches are *stacked* on a fresh leading axis
+and the step runs under ``shard_map`` with that axis sharded — each device
+squeezes its own block.  This is the shard_map-native equivalent of the
+DataLoader-worker -> single-GPU boundary in the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..nn.norm import bn_axis_name
+
+__all__ = ["make_mesh", "stack_batches", "data_parallel_step", "replicate",
+           "unreplicate"]
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def stack_batches(batches: Sequence[Any]):
+    """Stack per-device batch pytrees on a new leading device axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def unreplicate(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def data_parallel_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    axis: str = "data",
+    donate_state: bool = True,
+):
+    """Lift a single-device ``step_fn(state, batch, rng) -> (state, metrics)``
+    to the mesh.
+
+    Inside, gradients/metrics must already be pmean'd over ``axis`` by the
+    step (see train.step); BN statistics sync through
+    :func:`deepviewagg_tpu.nn.norm.bn_axis_name`.  The wrapper handles batch
+    stacking (leading device axis), state replication specs, and dropout-rng
+    folding (per-device distinct keys).
+    """
+    def per_device(state, batch, rng):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        with bn_axis_name(axis):
+            return step_fn(state, batch, rng)
+
+    mapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+
+    def run(state, batches, rng):
+        batch = stack_batches(batches) if isinstance(batches, (list, tuple)) else batches
+        new_state, metrics = jitted(state, batch, rng)
+        return new_state, metrics
+
+    return run

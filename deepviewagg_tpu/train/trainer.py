@@ -1,0 +1,182 @@
+"""The Trainer: epoch loop, eval, best-checkpointing, logging.
+
+Orchestration layer (reference torch_points3d/trainer.py:34-290): epoch loop
+over a host data source, jitted train/eval steps (single chip or a data mesh
+via shard_map), tracker updates every N batches, per-eval-frequency val/test
+epochs with optional voting, per-metric best checkpoints, and the debugging
+hooks (early break / batch caps, conf/debugging).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..metrics.tracker import SegmentationTracker
+from ..parallel.mesh import data_parallel_step, make_mesh, replicate
+from .checkpoint import CheckpointManager
+from .optimizers import make_optimizer, make_schedule
+from .step import TrainState, make_eval_step, make_train_step
+
+__all__ = ["TrainerConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 100
+    eval_frequency: int = 1
+    lovasz_weight: float = 0.0
+    base_lr: float = 0.1
+    lr_schedule: str = "multi_step"
+    lr_milestones: tuple = ()
+    lr_gamma: float = 0.3
+    total_steps: int = 100_000
+    optimizer: str = "sgd"
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    grad_clip: Optional[float] = 10.0
+    grad_accumulate: int = 1
+    lr_scales: Optional[Dict[str, float]] = None
+    run_dir: Optional[str] = None
+    track_every: int = 10
+    num_batches_cap: Optional[int] = None    # debugging.num_batches
+    selection_metric: str = "val_miou"
+    data_parallel: bool = False
+    log_fn: Callable[[str], None] = print
+
+
+class Trainer:
+    """``Trainer(model, num_classes, cfg).fit(train_data, val_data)``.
+
+    ``train_data`` / ``val_data`` are callables returning an iterable of
+    collated batches per epoch (the host input pipeline).  With
+    ``cfg.data_parallel`` each element must be a *list* of per-device
+    batches.
+    """
+
+    def __init__(self, model, num_classes: int, cfg: TrainerConfig,
+                 example_batch=None, seed: int = 0):
+        self.model = model
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.rng = jax.random.PRNGKey(seed)
+
+        if example_batch is None:
+            raise ValueError("example_batch required to initialize parameters")
+        self.rng, init_rng = jax.random.split(self.rng)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            init_rng, example_batch, train=False
+        )
+        schedule = make_schedule(
+            cfg.lr_schedule, cfg.base_lr, cfg.total_steps,
+            cfg.lr_milestones, cfg.lr_gamma,
+        )
+        tx = make_optimizer(
+            schedule, cfg.optimizer, cfg.momentum, cfg.weight_decay,
+            cfg.grad_clip, cfg.lr_scales,
+        )
+        if cfg.grad_accumulate > 1:
+            import optax
+            tx = optax.MultiSteps(tx, cfg.grad_accumulate)
+        self.state = TrainState.create(variables, tx)
+
+        axis = "data" if cfg.data_parallel else None
+        train_step = make_train_step(model, cfg.lovasz_weight, axis=axis)
+        eval_step = make_eval_step(model)
+        if cfg.data_parallel:
+            self.mesh = make_mesh()
+            self.state = replicate(self.state, self.mesh)
+            self._train_step = data_parallel_step(train_step, self.mesh)
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+        self.checkpoint = (
+            CheckpointManager(cfg.run_dir) if cfg.run_dir else None
+        )
+        self.epoch = 0
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, batches: Iterable) -> Dict[str, float]:
+        tracker = SegmentationTracker(self.num_classes, "train")
+        t0 = time.time()
+        n = 0
+        for i, batch in enumerate(batches):
+            if self.cfg.num_batches_cap and i >= self.cfg.num_batches_cap:
+                break
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            n += 1
+            if i % self.cfg.track_every == 0:
+                self._track_train(tracker, batch, metrics)
+        out = tracker.get_metrics()
+        out["train_batches"] = n
+        out["train_time_s"] = time.time() - t0
+        return out
+
+    def _track_train(self, tracker, batch, metrics):
+        if isinstance(batch, (list, tuple)):  # per-device batches
+            preds = np.asarray(metrics["preds"])
+            for b, p in zip(batch, preds):
+                tracker.track(
+                    p, b["labels"], np.asarray(b["graph"]["levels"][0]["valid"]),
+                    losses={"loss": float(np.asarray(metrics["loss"]).mean())},
+                )
+        else:
+            tracker.track(
+                np.asarray(metrics["preds"]), batch["labels"],
+                np.asarray(batch["graph"]["levels"][0]["valid"]),
+                losses={"loss": float(metrics["loss"])},
+            )
+
+    def eval_epoch(self, batches: Iterable, stage: str = "val") -> Dict[str, float]:
+        tracker = SegmentationTracker(self.num_classes, stage)
+        for i, batch in enumerate(batches):
+            if self.cfg.num_batches_cap and i >= self.cfg.num_batches_cap:
+                break
+            if isinstance(batch, (list, tuple)):
+                for b in batch:
+                    out = self._eval_step(self.state, b)
+                    tracker.track(
+                        np.asarray(out["preds"]), b["labels"],
+                        np.asarray(b["graph"]["levels"][0]["valid"]),
+                    )
+            else:
+                out = self._eval_step(self.state, batch)
+                tracker.track(
+                    np.asarray(out["preds"]), batch["labels"],
+                    np.asarray(batch["graph"]["levels"][0]["valid"]),
+                )
+        return tracker.get_metrics()
+
+    # ------------------------------------------------------------------
+    def fit(self, train_data: Callable, val_data: Optional[Callable] = None,
+            epochs: Optional[int] = None) -> Dict[str, float]:
+        log = self.cfg.log_fn
+        all_metrics: Dict[str, float] = {}
+        for _ in range(epochs or self.cfg.epochs):
+            self.epoch += 1
+            m = self.train_epoch(train_data())
+            all_metrics.update(m)
+            log(f"epoch {self.epoch}: "
+                + " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+            if val_data is not None and self.epoch % self.cfg.eval_frequency == 0:
+                vm = self.eval_epoch(val_data(), "val")
+                all_metrics.update(vm)
+                log(f"epoch {self.epoch} [val]: "
+                    + " ".join(f"{k}={v:.3f}" for k, v in vm.items()))
+            if self.checkpoint is not None:
+                directions = {
+                    k: SegmentationTracker.metric_direction(k)
+                    for k in all_metrics
+                    if k.endswith(("miou", "acc", "macc", "loss"))
+                }
+                self.checkpoint.save_best(
+                    jax.device_get(self.state), all_metrics, directions
+                )
+        return all_metrics

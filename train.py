@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Train a model: ``python train.py [--config conf/x.yaml] [k=v ...]``.
+
+The reference's ``train.py`` (Hydra @main -> Trainer(cfg).train()); same
+shape without the Hydra dependency:
+
+    python train.py --config conf/synthetic.yaml \\
+        model.name=Res16UNet34-L4-early training.epochs=5
+
+Config groups (deepviewagg_tpu/config/run.py): model / data / training.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_dataset(cfg, train: bool):
+    if cfg.data.dataset == "synthetic":
+        from deepviewagg_tpu.data.datasets.synthetic_ds import (
+            make_synthetic_dataset,
+        )
+        return make_synthetic_dataset(
+            cfg.data.root, train=train, radius=cfg.data.radius,
+            voxel_size=cfg.data.voxel_size, image_slots=cfg.data.image_slots,
+            samples_per_epoch=cfg.data.samples_per_epoch,
+            image_size=tuple(cfg.data.image_size), **cfg.data.kwargs,
+        )
+    if cfg.data.dataset == "s3dis":
+        from deepviewagg_tpu.data.datasets.s3dis import make_s3dis_dataset
+        return make_s3dis_dataset(
+            cfg.data.root, train=train, radius=cfg.data.radius,
+            voxel_size=cfg.data.voxel_size, image_slots=cfg.data.image_slots,
+            samples_per_epoch=cfg.data.samples_per_epoch, **cfg.data.kwargs,
+        )
+    if cfg.data.dataset == "scannet":
+        from deepviewagg_tpu.data.datasets.scannet import make_scannet_dataset
+        return make_scannet_dataset(
+            cfg.data.root, train=train, voxel_size=cfg.data.voxel_size,
+            image_slots=cfg.data.image_slots, **cfg.data.kwargs,
+        )
+    if cfg.data.dataset == "kitti360":
+        from deepviewagg_tpu.data.datasets.kitti360 import make_kitti360_dataset
+        return make_kitti360_dataset(
+            cfg.data.root, train=train, radius=cfg.data.radius,
+            voxel_size=cfg.data.voxel_size, image_slots=cfg.data.image_slots,
+            samples_per_epoch=cfg.data.samples_per_epoch, **cfg.data.kwargs,
+        )
+    raise KeyError(cfg.data.dataset)
+
+
+def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
+    """Measure capacities from a few samples when not pinned in config."""
+    import numpy as np
+    from deepviewagg_tpu.data.collate import Bucket
+    from deepviewagg_tpu.ops import voxel as _voxel
+
+    if cfg.data.level_caps:
+        return Bucket(
+            level_caps=list(cfg.data.level_caps),
+            num_batches=cfg.data.batch_size,
+            view_cap=cfg.data.view_cap, pix_cap=cfg.data.pix_cap,
+            image_cap=cfg.data.image_cap,
+            image_size=tuple(cfg.data.image_size),
+        )
+    sizes, views, pix = [], [], []
+    counts_levels = None
+    rng = np.random.default_rng(0)
+    for _ in range(probe):
+        s = dataset[int(rng.integers(len(dataset)))]
+        if s is None:
+            continue
+        sizes.append(len(s.coords))
+        if s.mapping is not None:
+            views.append(s.mapping.num_views)
+            pix.append(s.mapping.num_pixels)
+        coords = np.concatenate(
+            [np.zeros((len(s.coords), 1), np.int32), s.coords], axis=1
+        )
+        cur, stride, counts = coords, 1, [len(coords)]
+        for _ in range(4):
+            cur, _ = _voxel.downsample_coords(cur, stride * 2)
+            stride *= 2
+            counts.append(len(cur))
+        counts = np.array(counts)
+        counts_levels = counts if counts_levels is None else np.maximum(
+            counts_levels, counts
+        )
+    b = cfg.data.batch_size
+    margin = 1.3
+
+    def cap(x, m=256):
+        return int(-(-int(x * margin) // m) * m)
+
+    return Bucket(
+        level_caps=[cap(c * b) for c in counts_levels],
+        num_batches=b,
+        view_cap=cap(max(views) * b) if views else 0,
+        pix_cap=cap(max(pix) * b) if pix else 0,
+        image_cap=b * cfg.data.image_slots,
+        image_size=tuple(cfg.data.image_size),
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from deepviewagg_tpu.config import get_model_spec, load_run_config
+    from deepviewagg_tpu.data.datasets.base import BatchLoader
+    from deepviewagg_tpu.models.segmentation import build_model
+    from deepviewagg_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = load_run_config(args.config, args.overrides)
+    train_ds = build_dataset(cfg, train=True)
+    val_ds = build_dataset(cfg, train=False)
+    num_classes = getattr(train_ds, "num_classes", cfg.data.num_classes)
+
+    spec = get_model_spec(
+        cfg.model.name, num_classes, cfg.model.in_channels,
+        cfg.model.overrides,
+    )
+    branch_levels = sorted(dict(spec.branches))
+    bucket = auto_bucket(cfg, train_ds, branch_levels)
+    print(f"bucket: levels={list(bucket.level_caps)} views={bucket.view_cap} "
+          f"pix={bucket.pix_cap} imgs={bucket.image_cap}")
+
+    model = build_model(spec)
+    train_loader = BatchLoader(
+        train_ds, bucket, cfg.data.batch_size, branch_levels, shuffle=True,
+        seed=cfg.training.seed,
+    )
+    val_loader = BatchLoader(
+        val_ds, bucket, cfg.data.batch_size, branch_levels, shuffle=False,
+    )
+    example = next(iter(train_loader))
+
+    tcfg = TrainerConfig(
+        epochs=cfg.training.epochs,
+        eval_frequency=cfg.training.eval_frequency,
+        lovasz_weight=cfg.training.lovasz_weight,
+        base_lr=cfg.training.base_lr,
+        lr_schedule=cfg.training.lr_schedule,
+        lr_milestones=tuple(cfg.training.lr_milestones),
+        lr_gamma=cfg.training.lr_gamma,
+        optimizer=cfg.training.optimizer,
+        momentum=cfg.training.momentum,
+        weight_decay=cfg.training.weight_decay,
+        grad_clip=cfg.training.grad_clip,
+        grad_accumulate=cfg.training.grad_accumulate,
+        run_dir=cfg.training.run_dir,
+        num_batches_cap=cfg.training.num_batches_cap
+        if not cfg.training.early_break else 2,
+        data_parallel=cfg.training.data_parallel,
+    )
+    trainer = Trainer(model, num_classes, tcfg, example_batch=example,
+                      seed=cfg.training.seed)
+    if cfg.training.resume and trainer.checkpoint and trainer.checkpoint.has("latest"):
+        trainer.state = trainer.checkpoint.restore_state("latest", trainer.state)
+        print("resumed from latest checkpoint")
+    metrics = trainer.fit(lambda: iter(train_loader), lambda: iter(val_loader))
+    print("final:", {k: round(v, 3) for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
