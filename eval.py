@@ -13,6 +13,11 @@ import argparse
 import json
 import os
 
+if os.environ.get("DVA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DVA_PLATFORM"])
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

@@ -13,7 +13,15 @@ Config groups (deepviewagg_tpu/config/run.py): model / data / training.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# the axon TPU plugin overrides JAX_PLATFORMS from the environment;
+# jax.config wins over both (e.g. DVA_PLATFORM=cpu for host-only smoke runs)
+if os.environ.get("DVA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DVA_PLATFORM"])
 
 
 def build_dataset(cfg, train: bool):
