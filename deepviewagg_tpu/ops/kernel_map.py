@@ -94,12 +94,25 @@ def build_kernel_map(
     """
     offsets = kernel_offsets(kernel_size)
     n_in, n_out = len(in_coords), len(out_coords)
-    nbr = np.full((len(offsets), n_out), n_in, np.int32)
-    for k, off in enumerate(offsets):
-        query = out_coords.copy()
-        query[:, 1:] = query[:, 1:] + off * stride
-        hit = _voxel.query_coords(in_coords, query)  # [n_out] -> in idx or -1
-        nbr[k] = np.where(hit >= 0, hit, n_in)
+    try:
+        from ..native import lib
+    except Exception:
+        lib = None
+    if lib is not None:
+        nbr = lib.build_kernel_map(
+            np.ascontiguousarray(in_coords, np.int32),
+            np.ascontiguousarray(out_coords, np.int32),
+            np.ascontiguousarray(offsets, np.int32),
+            int(stride),
+        )
+        # native returns n_in for misses already
+    else:
+        nbr = np.full((len(offsets), n_out), n_in, np.int32)
+        for k, off in enumerate(offsets):
+            query = out_coords.copy()
+            query[:, 1:] = query[:, 1:] + off * stride
+            hit = _voxel.query_coords(in_coords, query)  # [n_out] -> idx | -1
+            nbr[k] = np.where(hit >= 0, hit, n_in)
     return KernelMap(
         nbr=nbr, n_in=n_in, n_out=n_out, kernel_size=kernel_size, stride=stride
     )

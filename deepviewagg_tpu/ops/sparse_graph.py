@@ -164,6 +164,20 @@ def graph_to_device(graph: SparseGraphArrays) -> dict:
 
 def _build_padded_map(in_c, out_c, ks, stride, cap_in, cap_out):
     """Kernel map padded to capacities: nbr int32 [K, cap_out], pad = cap_in."""
+    try:
+        from ..native import lib
+    except Exception:
+        lib = None
+    if lib is not None:
+        nbr = lib.build_kernel_map(
+            np.ascontiguousarray(in_c, np.int32),
+            np.ascontiguousarray(out_c, np.int32),
+            np.ascontiguousarray(_km.kernel_offsets(ks), np.int32),
+            int(stride), int(cap_in), int(cap_out),
+        )
+        return _km.KernelMap(
+            nbr=nbr, n_in=cap_in, n_out=cap_out, kernel_size=ks, stride=stride
+        )
     m = _km.build_kernel_map(in_c, out_c, kernel_size=ks, stride=stride)
     k = m.num_offsets
     nbr = np.full((k, cap_out), cap_in, np.int32)

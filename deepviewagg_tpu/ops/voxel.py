@@ -47,13 +47,28 @@ def ravel_coords(coords: np.ndarray) -> np.ndarray:
     return key
 
 
+def _native():
+    try:
+        from ..native import lib
+        return lib
+    except Exception:
+        return None
+
+
 def unique_coords(coords: np.ndarray):
     """Deduplicate coordinate rows.
 
     Returns ``(unique_coords [M,4], inverse [N])`` with ``coords[i] ==
     unique_coords[inverse[i]]``.  Unique rows come out in sorted key order —
-    deterministic across runs.
+    deterministic across runs (identical between the C++ and numpy paths).
     """
+    lib = _native()
+    if lib is not None:
+        coords = np.ascontiguousarray(coords, np.int32)
+        if coords.size:
+            assert coords[:, 0].min() >= 0 and coords[:, 0].max() < MAX_BATCH
+            assert abs(coords[:, 1:]).max() <= MAX_COORD
+        return lib.unique_inverse(coords)
     key = ravel_coords(coords)
     uniq_key, inverse = np.unique(key, return_inverse=True)
     # Recover a representative row per unique key.
@@ -67,6 +82,12 @@ def unique_coords(coords: np.ndarray):
 def query_coords(table_coords: np.ndarray, query: np.ndarray) -> np.ndarray:
     """For each query row, the index of the matching row in ``table_coords``
     (or -1).  Table rows must be unique."""
+    lib = _native()
+    if lib is not None:
+        return lib.query_coords(
+            np.ascontiguousarray(table_coords, np.int32),
+            np.ascontiguousarray(query, np.int32),
+        )
     table_key = ravel_coords(table_coords)
     order = np.argsort(table_key)
     sorted_key = table_key[order]
