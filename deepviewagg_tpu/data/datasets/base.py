@@ -116,6 +116,7 @@ class SphereDataset:
     eval_grid_step: Optional[float] = None   # defaults to radius
     samples_per_epoch: int = 2000
     seed: int = 0
+    select_shape: str = "sphere"             # 'sphere' | 'cylinder'
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -163,7 +164,9 @@ class SphereDataset:
                 self._build_eval_centers()
             ai, center = self._centers[idx]
         cloud = self.areas.get(ai)
-        sub = transforms3d.sphere_select(cloud, center, self.radius)
+        select = (transforms3d.cylinder_select if self.select_shape == "cylinder"
+                  else transforms3d.sphere_select)
+        sub = select(cloud, center, self.radius)
         if len(sub["pos"]) < 16:
             return None
         if self.train and self.augment is not None:

@@ -1,0 +1,168 @@
+"""ScanNet multimodal dataset (per-scan rooms + .sens-exported frames).
+
+Reference: ``ScannetMM`` (datasets/segmentation/multimodal/scannet.py):
+per-scan meshes ``<scan>_vh_clean_2.ply`` with NYU40 vertex labels remapped
+to the 20-class benchmark subset; 2D frames exported from the ``.sens``
+stream as ``color/<i>.jpg`` + ``pose/<i>.txt`` (4x4 camera-to-world, so the
+world->cam extrinsic our pinhole model expects is its inverse — handled by
+the 'scannet' camera model, ``load_pose`` scannet.py:21) +
+``intrinsic/intrinsic_color.txt``.
+
+Scans are whole training samples (rooms are small); eval serves fixed
+spheres like the reference's grid sampling.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ...core.cameras import Camera
+from ...utils.ply import read_ply
+from ..geometric import pca_features
+from ..mapping_factory import VisibilityParams, build_mappings
+from ..transforms2d import normalize_images
+from .base import AreaCache, SphereDataset, save_area
+from .s3dis import _load_image, default_augment
+
+__all__ = ["SCANNET_CLASSES", "VALID_CLASS_IDS", "make_scannet_dataset",
+           "preprocess_scannet_scan", "load_pose"]
+
+SCANNET_CLASSES = (
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "desk", "curtain",
+    "refrigerator", "shower curtain", "toilet", "sink", "bathtub",
+    "otherfurniture",
+)
+# NYU40 ids of the benchmark classes (scannet.py VALID_CLASS_IDS)
+VALID_CLASS_IDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28,
+                   33, 34, 36, 39)
+NUM_CLASSES = len(SCANNET_CLASSES)
+_NYU40_TO_TRAIN = np.full(41, -1, np.int32)
+for i, cid in enumerate(VALID_CLASS_IDS):
+    _NYU40_TO_TRAIN[cid] = i
+
+IMG_SIZE = (640, 480)   # .sens color streams (reference exports 640x480)
+R_MIN, R_MAX = 0.3, 6.0
+
+
+def load_pose(path: str) -> np.ndarray:
+    """4x4 camera-to-world matrix from a .sens-exported pose txt
+    (scannet.py:21-30)."""
+    return np.loadtxt(path, dtype=np.float32).reshape(4, 4)
+
+
+def load_scan_cloud(scan_dir: str):
+    scan = os.path.basename(scan_dir.rstrip("/"))
+    mesh = read_ply(os.path.join(scan_dir, f"{scan}_vh_clean_2.ply"))
+    pos = np.stack([mesh["x"], mesh["y"], mesh["z"]], 1).astype(np.float32)
+    rgb = np.stack([mesh["red"], mesh["green"], mesh["blue"]], 1)
+    rgb = rgb.astype(np.float32) / 255.0
+    label_path = os.path.join(scan_dir, f"{scan}_vh_clean_2.labels.ply")
+    if os.path.exists(label_path):
+        lab = read_ply(label_path)["label"].astype(np.int64)
+        labels = _NYU40_TO_TRAIN[np.clip(lab, 0, 40)]
+    else:
+        labels = np.full(len(pos), -1, np.int32)
+    return pos, rgb, labels.astype(np.int32)
+
+
+def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20):
+    """Every ``frame_step``-th exported frame (the reference subsamples the
+    video stream the same way)."""
+    intr_path = os.path.join(scan_dir, "intrinsic", "intrinsic_color.txt")
+    k = (np.loadtxt(intr_path, dtype=np.float32).reshape(4, 4)
+         if os.path.exists(intr_path) else None)
+    out = []
+    poses = sorted(
+        glob.glob(os.path.join(scan_dir, "pose", "*.txt")),
+        key=lambda p: int(os.path.splitext(os.path.basename(p))[0]),
+    )
+    for pose_path in poses[::frame_step]:
+        idx = os.path.splitext(os.path.basename(pose_path))[0]
+        color = os.path.join(scan_dir, "color", f"{idx}.jpg")
+        if not os.path.exists(color):
+            continue
+        cam_to_world = load_pose(pose_path)
+        if not np.isfinite(cam_to_world).all():
+            continue
+        extrinsic = np.linalg.inv(cam_to_world)  # world -> cam
+        out.append({
+            "path": color,
+            "camera": Camera(
+                model="scannet", size=tuple(image_size),
+                extrinsic=extrinsic, intrinsic=k,
+                r_min=R_MIN, r_max=R_MAX,
+            ),
+        })
+    return out
+
+
+def preprocess_scannet_scan(
+    scan_dir: str, out_dir: str, voxel_size: float = 0.05,
+    image_size=(320, 240), frame_step: int = 20,
+    max_images: Optional[int] = 40,
+) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    scan = os.path.basename(scan_dir.rstrip("/"))
+    out_path = os.path.join(out_dir, f"{scan}.npz")
+    if os.path.exists(out_path):
+        return out_path
+    pos, rgb, labels = load_scan_cloud(scan_dir)
+
+    from ...ops import voxel as _voxel
+
+    g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
+    geo = pca_features(g["pos"], k=50)
+    cams_meta = scan_cameras(scan_dir, image_size, frame_step)
+    if max_images:
+        cams_meta = cams_meta[:max_images]
+    cams = [c["camera"] for c in cams_meta]
+    mapping = build_mappings(
+        g["pos"], cams,
+        VisibilityParams(voxel=voxel_size, exact=False),
+        geometric=geo, nn_idx=geo["nn_idx"],
+    )
+    images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
+    save_area(out_path, {
+        "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
+        "normal": geo["normal"],
+        "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
+        "mapping": mapping,
+        "images": normalize_images(images).astype(np.float32),
+    })
+    return out_path
+
+
+def make_scannet_dataset(
+    root: str, train: bool = True, voxel_size: float = 0.05,
+    image_slots: int = 6, radius: float = 2.0,
+    samples_per_epoch: int = 2000, cache_dir: Optional[str] = None,
+    split_file: Optional[str] = None, **preprocess_kw,
+) -> SphereDataset:
+    """``root`` holds ``scans/scene*``; splits follow the official
+    scannetv2_{train,val}.txt lists when present."""
+    cache_dir = cache_dir or os.path.join(root, "processed_dva")
+    scans = sorted(glob.glob(os.path.join(root, "scans", "scene*")))
+    if split_file is None:
+        name = "scannetv2_train.txt" if train else "scannetv2_val.txt"
+        split_file = os.path.join(root, name)
+    if os.path.exists(split_file):
+        keep = {l.strip() for l in open(split_file) if l.strip()}
+        scans = [s for s in scans if os.path.basename(s) in keep]
+    if not scans:
+        raise FileNotFoundError(f"no scans under {root}/scans")
+    paths = [
+        preprocess_scannet_scan(s, cache_dir, voxel_size=voxel_size,
+                                **preprocess_kw)
+        for s in scans
+    ]
+    return SphereDataset(
+        areas=AreaCache(paths, max_loaded=8),
+        radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
+        train=train, augment=default_augment() if train else None,
+        image_slots=image_slots, samples_per_epoch=samples_per_epoch,
+    )
