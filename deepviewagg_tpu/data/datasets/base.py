@@ -230,7 +230,7 @@ class BatchLoader:
                 return False
         return True
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _iter_sync(self) -> Iterator[Dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -248,3 +248,28 @@ class BatchLoader:
                 group.append(s)
         if group and not self.drop_last:
             yield collate(group, self.bucket, self.branch_levels)
+
+    def __iter__(self) -> Iterator[Dict]:
+        """Prefetch one batch ahead on a worker thread so host collate
+        (voxel hashing, mapping reindex) overlaps device compute — the role
+        of the reference's DataLoader workers (base_dataset.py:211-288)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = object()
+
+        def worker():
+            try:
+                for b in self._iter_sync():
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is stop:
+                break
+            yield b

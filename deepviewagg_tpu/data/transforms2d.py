@@ -30,6 +30,9 @@ __all__ = [
     "pick_images_by_credit",
     "jitter_mapping_features",
     "normalize_images",
+    "center_roll",
+    "crop_images",
+    "random_horizontal_flip",
 ]
 
 
@@ -118,6 +121,139 @@ def jitter_mapping_features(
     )
     import dataclasses
     out["mapping"] = dataclasses.replace(m, view_feats=feats)
+    return out
+
+
+def center_roll(cloud: dict, angular_res: int = 16) -> dict:
+    """Circular-roll each equirectangular image so its mapped pixels are
+    centered (``CenterRoll``, data_transform/multimodal/image.py:962-1037):
+    among ``angular_res`` candidate rolls (256-bin coordinates), pick the one
+    minimizing ``span + |center - 128|`` of the mapped x coordinates; roll
+    pixel mappings and the image columns accordingly.  Enables tight crops
+    on panoramas."""
+    m: MultiViewMapping = cloud["mapping"]
+    if cloud.get("images") is None or m.num_pixels == 0:
+        return cloud
+    images = cloud["images"]
+    w = images.shape[1]
+    vc = m.view_capacity
+    pv = np.minimum(m.pix_view, vc - 1)
+    pix_img = np.where(m.pix_valid, m.image_id[pv], -1)
+
+    new_x = m.pix_x.copy()
+    new_images = images.copy()
+    candidates = (np.arange(angular_res) * 256) // angular_res
+    for i in range(m.num_images):
+        sel = pix_img == i
+        if not sel.any():
+            continue
+        bins = (m.pix_x[sel].astype(np.int64) * 256) // w
+        best_cost, best_r = None, 0
+        for r in candidates:
+            rolled = (bins + r) % 256
+            lo, hi = rolled.min(), rolled.max()
+            cost = (hi - lo) + abs((hi + lo) / 2 - 128)
+            if best_cost is None or cost < best_cost:
+                best_cost, best_r = cost, int(r)
+        shift = (best_r * w) // 256
+        if shift == 0:
+            continue
+        new_x[sel] = (m.pix_x[sel].astype(np.int64) + shift) % w
+        new_images[i] = np.roll(images[i], shift, axis=0)
+    import dataclasses
+    out = dict(cloud)
+    out["mapping"] = dataclasses.replace(m, pix_x=new_x.astype(np.int32))
+    out["images"] = new_images
+    return out
+
+
+def crop_images(cloud: dict, crop_size: Tuple[int, int]) -> dict:
+    """Crop every image to one static ``(w, h)`` window centered on its
+    mapped-pixel bbox; mappings shift into crop coordinates and the few
+    pixels falling outside become padding.
+
+    Static-shape stand-in for ``CropImageGroups``' power-of-two families
+    (image.py:1040-1141): one bucketed crop size per batch instead of
+    per-sample families (SURVEY.md §7 move 1).
+    """
+    m: MultiViewMapping = cloud["mapping"]
+    images = cloud.get("images")
+    if images is None:
+        return cloud
+    full_w, full_h = images.shape[1], images.shape[2]
+    cw, ch = crop_size
+    if cw >= full_w and ch >= full_h:
+        return cloud
+    cw, ch = min(cw, full_w), min(ch, full_h)
+    vc = m.view_capacity
+    pv = np.minimum(m.pix_view, vc - 1)
+    pix_img = np.where(m.pix_valid, m.image_id[pv], -1)
+
+    new_images = np.zeros((len(images), cw, ch, images.shape[3]),
+                          images.dtype)
+    new_x = m.pix_x.copy()
+    new_y = m.pix_y.copy()
+    keep = m.pix_valid.copy()
+    for i in range(m.num_images):
+        sel = pix_img == i
+        if sel.any():
+            cx = int(np.clip((m.pix_x[sel].min() + m.pix_x[sel].max()) // 2,
+                             cw // 2, full_w - cw // 2))
+            cy = int(np.clip((m.pix_y[sel].min() + m.pix_y[sel].max()) // 2,
+                             ch // 2, full_h - ch // 2))
+        else:
+            cx, cy = cw // 2, ch // 2
+        x0, y0 = cx - cw // 2, cy - ch // 2
+        new_images[i] = images[i, x0:x0 + cw, y0:y0 + ch]
+        nx = m.pix_x[sel] - x0
+        ny = m.pix_y[sel] - y0
+        inside = (nx >= 0) & (nx < cw) & (ny >= 0) & (ny < ch)
+        new_x[sel] = np.clip(nx, 0, cw - 1)
+        new_y[sel] = np.clip(ny, 0, ch - 1)
+        keep[sel] &= inside
+    # invariant: every valid view keeps >= 1 pixel — views whose pixels all
+    # fell outside the crop retain their first pixel with clamped coords
+    # (the reference sizes crops to contain the bbox, image.py:1082-1118;
+    # a static single-size crop can cut corners instead)
+    kept_per_view = np.zeros(vc + 1, np.int64)
+    np.add.at(kept_per_view, np.where(m.pix_valid, pv, vc), keep.astype(np.int64))
+    uviews, first_idx = np.unique(
+        np.where(m.pix_valid, pv, vc), return_index=True
+    )
+    for v, fi in zip(uviews, first_idx):
+        if v < vc and m.view_valid[v] and kept_per_view[v] == 0:
+            keep[fi] = True
+
+    import dataclasses
+    out = dict(cloud)
+    # pixels outside the crop become pads (re-point at view capacity, tail)
+    pix_view = np.where(keep, m.pix_view, vc)
+    order = np.argsort(pix_view, kind="stable")
+    out["mapping"] = dataclasses.replace(
+        m,
+        pix_view=pix_view[order].astype(np.int32),
+        pix_x=new_x[order].astype(np.int32),
+        pix_y=new_y[order].astype(np.int32),
+        pix_valid=keep[order],
+    )
+    out["images"] = new_images
+    return out
+
+
+def random_horizontal_flip(cloud: dict, rng: np.random.Generator,
+                           p: float = 0.5) -> dict:
+    """Flip images along x and mirror the pixel mappings
+    (``RandomHorizontalFlip``, image.py:1195-1219)."""
+    if rng.random() > p or cloud.get("images") is None:
+        return cloud
+    import dataclasses
+    m: MultiViewMapping = cloud["mapping"]
+    w = cloud["images"].shape[1]
+    out = dict(cloud)
+    out["images"] = cloud["images"][:, ::-1].copy()
+    out["mapping"] = dataclasses.replace(
+        m, pix_x=np.where(m.pix_valid, w - 1 - m.pix_x, m.pix_x).astype(np.int32)
+    )
     return out
 
 

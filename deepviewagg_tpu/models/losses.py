@@ -68,3 +68,33 @@ def segmentation_loss(logits, labels, valid=None, lovasz_weight: float = 0.0):
     if lovasz_weight > 0:
         loss = loss + lovasz_weight * lovasz_softmax(logits, labels, valid)
     return loss
+
+
+def view_level_loss(view_logits, labels, point_id, view_valid):
+    """Per-view NLL against the owning point's label — the reference's
+    view-level loss option (labels repeat_interleave'd per view,
+    models/segmentation/multimodal/no3d.py:139-155; needs
+    ``keep_last_view=True`` branch extras)."""
+    n = labels.shape[0]
+    pid = jnp.minimum(point_id, n - 1)
+    view_labels = jnp.where(view_valid, labels[pid], IGNORE_LABEL)
+    return cross_entropy(view_logits, view_labels)
+
+
+def propagate_unseen(logits, pos, x_seen, k: int = 1):
+    """Eval-time semantics for points no view reaches: copy the (log-)probs
+    of the nearest *seen* neighbor (KeOps 1-NN in the reference,
+    no3d.py:105-126).  Host-side numpy/JAX; used by eval, not training."""
+    import numpy as np
+
+    from ..ops.knn import knn
+
+    logits = np.asarray(logits)
+    x_seen = np.asarray(x_seen)
+    if x_seen.all() or not x_seen.any():
+        return logits
+    pos = np.asarray(pos)
+    _, idx = knn(pos[~x_seen], pos, k=k, valid=x_seen)
+    out = logits.copy()
+    out[~x_seen] = logits[idx[:, 0]]
+    return out

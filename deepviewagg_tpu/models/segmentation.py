@@ -102,7 +102,12 @@ class SparseConv3dSeg(nn.Module):
             batch["feats"], batch["graph"], train=train
         )
         if self.spec.head_dropout > 0:
-            x = nn.Dropout(self.spec.head_dropout, deterministic=not train)(x)
+            # rng presence (not the train flag) gates dropout so MC-dropout
+            # eval voting works (base_model.py:480-487)
+            x = nn.Dropout(
+                self.spec.head_dropout,
+                deterministic=not self.has_rng("dropout"),
+            )(x)
         logits = nn.Dense(self.spec.num_classes, name="head")(x)
         return {"logits": logits}
 
@@ -168,7 +173,10 @@ class MultimodalSeg(nn.Module):
                 x, skips[lvl_out], batch["graph"], lvl_out, train=train
             )
         if self.spec.head_dropout > 0:
-            x = nn.Dropout(self.spec.head_dropout, deterministic=not train)(x)
+            x = nn.Dropout(
+                self.spec.head_dropout,
+                deterministic=not self.has_rng("dropout"),
+            )(x)
         logits = nn.Dense(self.spec.num_classes, name="head")(x)
         out = {"logits": logits}
         if x_seen_all is not None:
@@ -208,7 +216,54 @@ class No3DSeg(nn.Module):
         return {"logits": logits, "x_seen": x_seen, "view_extras": extras}
 
 
-def build_model(spec: ModelSpec) -> nn.Module:
+class LateFusionSeg(nn.Module):
+    """Two full towers fused at the end: a 3D UNet over the points and a
+    2D branch pooled to points, merged by feature concat + MLP head
+    ('feature') or by adding per-tower logits ('logit') — the reference's
+    ``LateFeatureFusion`` / ``LateLogitFusion``
+    (models/segmentation/multimodal/sparseconv3d.py:12,184)."""
+
+    spec: ModelSpec
+    mode: str = "feature"   # 'feature' | 'logit'
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = True):
+        from ..nn.res16unet import Res16UNet
+
+        (level, bspec), = self.spec.branches
+        assert level == 0, "late fusion consumes level-0 mappings"
+        x3d = Res16UNet.preset(self.spec.backbone, name="backbone")(
+            batch["feats"], batch["graph"], train=train
+        )
+        tower, _ = make_tower(bspec.tower, bspec.tower_norm)
+        images = batch["images"]
+        branch = UnimodalBranch(
+            tower=tower, out_channels=bspec.out_channels,
+            atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
+            num_groups=bspec.num_groups, gated=bspec.gated,
+            interpolate=bspec.interpolate, fusion_mode="modality",
+            remat_tower=bspec.remat_tower, name="branch",
+        )
+        x2d, x_seen, _ = branch(
+            None, images, batch["mappings"][0],
+            (images.shape[1], images.shape[2]), train=train,
+            num_points=x3d.shape[0],
+        )
+        if self.mode == "logit":
+            l3 = nn.Dense(self.spec.num_classes, name="head3d")(x3d)
+            l2 = nn.Dense(self.spec.num_classes, name="head2d")(x2d)
+            logits = l3 + jnp.where(x_seen[:, None], l2, 0.0)
+        else:
+            h = jnp.concatenate([x3d, x2d], axis=-1)
+            h = nn.Dense(x3d.shape[-1], name="mix")(h)
+            h = nn.relu(h)
+            logits = nn.Dense(self.spec.num_classes, name="head")(h)
+        return {"logits": logits, "x_seen": x_seen}
+
+
+def build_model(spec: ModelSpec, late_fusion: Optional[str] = None) -> nn.Module:
     if not spec.branches:
         return SparseConv3dSeg(spec)
+    if late_fusion:
+        return LateFusionSeg(spec, mode=late_fusion)
     return MultimodalSeg(spec)

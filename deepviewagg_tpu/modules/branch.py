@@ -47,7 +47,10 @@ class ModalityDropout(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.p <= 0.0:
             return x
-        if not train:
+        # active when training, or at eval when a dropout rng is supplied —
+        # the MC-dropout voting mode (enable_dropout_in_eval,
+        # base_model.py:480-487)
+        if not self.has_rng("dropout"):
             return x
         keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.p)
         return jnp.where(keep, x / (1.0 - self.p), 0.0)

@@ -108,12 +108,19 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(model, axis: Optional[str] = None) -> Callable:
+def make_eval_step(model, axis: Optional[str] = None,
+                   mc_dropout: bool = False) -> Callable:
+    """``mc_dropout=True`` keeps dropout active at eval — the reference's
+    ``enable_dropout_in_eval`` voting mode (base_model.py:480-487,
+    trainer.py:230-258); pass a distinct rng per voting run."""
+
     def step(state: TrainState, batch: Dict, rng=None) -> Dict:
+        rngs = {"dropout": rng} if (mc_dropout and rng is not None) else None
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch,
             train=False,
+            rngs=rngs,
         )
         return {
             "logits": out["logits"],
