@@ -56,13 +56,20 @@ class Conv2dWS(nn.Module):
             mean = w.mean(axis=(0, 1, 2), keepdims=True)
             var = w.var(axis=(0, 1, 2), keepdims=True)
             w = (w - mean) * jax.lax.rsqrt(var * (kh * kw * cin) + 1e-10)
+        # explicit torch-convention padding (k//2 * dilation per side): XLA
+        # 'SAME' pads asymmetrically at stride 2, which breaks numerical
+        # parity with converted torch checkpoints.
+        pad = (
+            (kh // 2 * self.dilation[0], kh // 2 * self.dilation[0]),
+            (kw // 2 * self.dilation[1], kw // 2 * self.dilation[1]),
+        )
         # both operands bf16, output cast back: keeps fwd and transpose convs
         # dtype-consistent (XLA accumulates bf16 convs in f32 on TPU)
         y = jax.lax.conv_general_dilated(
             x.astype(jnp.bfloat16),
             w.astype(jnp.bfloat16),
             window_strides=self.strides,
-            padding="SAME",
+            padding=pad,
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ).astype(jnp.float32)
@@ -129,7 +136,8 @@ class ResNet18(nn.Module):
         x = Conv2dWS(self.width, (7, 7), (2, 2), standardize=ws)(x)
         x = _Norm(self.norm)(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))  # torch pad=1 convention
         taps.append(x)
         plan = [  # (features, first-stride, dilation) per layer
             (self.width, (1, 1), (1, 1)),

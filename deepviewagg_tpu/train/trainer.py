@@ -99,6 +99,8 @@ class Trainer:
         self.checkpoint = (
             CheckpointManager(cfg.run_dir) if cfg.run_dir else None
         )
+        from ..utils.logging import MetricLogger
+        self.logger = MetricLogger(cfg.run_dir)
         self.epoch = 0
 
     # ------------------------------------------------------------------
@@ -170,6 +172,7 @@ class Trainer:
                 all_metrics.update(vm)
                 log(f"epoch {self.epoch} [val]: "
                     + " ".join(f"{k}={v:.3f}" for k, v in vm.items()))
+            self.logger.log(all_metrics, self.epoch)
             if self.checkpoint is not None:
                 directions = {
                     k: SegmentationTracker.metric_direction(k)
