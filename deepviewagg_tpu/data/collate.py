@@ -28,7 +28,13 @@ from ..core.csr import pad_to
 from ..ops import sparse_graph as sg
 from .mapping import MultiViewMapping, concatenate_mappings
 
-__all__ = ["Sample", "Bucket", "collate"]
+__all__ = ["Sample", "Bucket", "collate", "device_view"]
+
+
+def device_view(batch: Dict) -> Dict:
+    """The jit-safe view of a collated batch: everything except ``meta``
+    (which holds host-only cloud keys / ragged origin ids)."""
+    return {k: v for k, v in batch.items() if k != "meta"}
 
 
 @dataclasses.dataclass
@@ -42,6 +48,7 @@ class Sample:
     mapping: Optional[MultiViewMapping] = None
     pos: Optional[np.ndarray] = None   # f32 [n, 3] raw positions (trackers)
     origin_id: Optional[np.ndarray] = None   # int64 [n] raw-cloud row ids
+    cloud: Optional[str] = None        # source cloud key (vote accumulation)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,5 +129,8 @@ def collate(
         "num_valid": n_total,
         "num_samples": len(samples),
         "sizes": [len(s.coords) for s in samples],
+        # voting support (SaveOriginalPosId semantics, SURVEY.md §A.9)
+        "clouds": [s.cloud for s in samples],
+        "origin_ids": [s.origin_id for s in samples],
     }
     return batch

@@ -194,6 +194,7 @@ class SphereDataset:
             coords=sub["coords"], feats=feats, labels=sub.get("labels"),
             images=sub.get("images"), mapping=sub.get("mapping"),
             pos=sub["pos"], origin_id=sub.get("origin_id"),
+            cloud=self.areas.paths[ai],
         )
 
 

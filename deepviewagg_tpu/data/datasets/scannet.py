@@ -29,7 +29,7 @@ from .base import AreaCache, SphereDataset, save_area
 from .s3dis import _load_image, default_augment
 
 __all__ = ["SCANNET_CLASSES", "VALID_CLASS_IDS", "make_scannet_dataset",
-           "preprocess_scannet_scan", "load_pose"]
+           "preprocess_scannet_scan", "load_pose", "write_submission"]
 
 SCANNET_CLASSES = (
     "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
@@ -135,6 +135,18 @@ def preprocess_scannet_scan(
         "images": normalize_images(images).astype(np.float32),
     })
     return out_path
+
+
+def write_submission(out_dir: str, scan_preds) -> str:
+    """ScanNet benchmark submission: one ``<scan>.txt`` per scan with the
+    per-vertex NYU40 id (train id -> VALID_CLASS_IDS remap,
+    metrics/scannet_segmentation_tracker.py:77-86)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ids = np.asarray(VALID_CLASS_IDS, np.int64)
+    for scan, train_preds in scan_preds.items():
+        mapped = ids[np.clip(train_preds, 0, NUM_CLASSES - 1)]
+        np.savetxt(os.path.join(out_dir, f"{scan}.txt"), mapped, fmt="%d")
+    return out_dir
 
 
 def make_scannet_dataset(

@@ -69,7 +69,7 @@ class Trainer:
             raise ValueError("example_batch required to initialize parameters")
         self.rng, init_rng = jax.random.split(self.rng)
         variables = jax.jit(model.init, static_argnames=("train",))(
-            init_rng, example_batch, train=False
+            init_rng, self._strip_meta(example_batch), train=False
         )
         schedule = make_schedule(
             cfg.lr_schedule, cfg.base_lr, cfg.total_steps,
@@ -104,6 +104,14 @@ class Trainer:
         self.epoch = 0
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _strip_meta(batch):
+        """meta holds host-only objects (cloud keys, ragged origin ids) that
+        must not enter jit."""
+        if isinstance(batch, (list, tuple)):
+            return [Trainer._strip_meta(b) for b in batch]
+        return {k: v for k, v in batch.items() if k != "meta"}
+
     def train_epoch(self, batches: Iterable) -> Dict[str, float]:
         tracker = SegmentationTracker(self.num_classes, "train")
         t0 = time.time()
@@ -112,7 +120,9 @@ class Trainer:
             if self.cfg.num_batches_cap and i >= self.cfg.num_batches_cap:
                 break
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            self.state, metrics = self._train_step(
+                self.state, self._strip_meta(batch), step_rng
+            )
             n += 1
             if i % self.cfg.track_every == 0:
                 self._track_train(tracker, batch, metrics)
@@ -143,13 +153,13 @@ class Trainer:
                 break
             if isinstance(batch, (list, tuple)):
                 for b in batch:
-                    out = self._eval_step(self.state, b)
+                    out = self._eval_step(self.state, self._strip_meta(b))
                     tracker.track(
                         np.asarray(out["preds"]), b["labels"],
                         np.asarray(b["graph"]["levels"][0]["valid"]),
                     )
             else:
-                out = self._eval_step(self.state, batch)
+                out = self._eval_step(self.state, self._strip_meta(batch))
                 tracker.track(
                     np.asarray(out["preds"]), batch["labels"],
                     np.asarray(batch["graph"]["levels"][0]["valid"]),

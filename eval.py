@@ -56,14 +56,70 @@ def main(argv=None):
     trainer = Trainer(model, num_classes, tcfg, example_batch=example)
     trainer.state = trainer.checkpoint.restore_state(args.weight, trainer.state)
 
+    import jax
+
+    from deepviewagg_tpu.data.datasets.base import load_area
+    from deepviewagg_tpu.train.step import make_eval_step
+
     tracker = SegmentationTracker(num_classes, "test")
-    votes = VoteAccumulator(num_classes) if args.voting_runs > 1 or args.full_res else None
+    do_votes = args.voting_runs > 1 or args.full_res or args.submission
+    votes = VoteAccumulator(num_classes) if do_votes else None
+    mc_step = None
+    if args.voting_runs > 1:
+        mc_step = jax.jit(make_eval_step(model, mc_dropout=True))
+    rng = jax.random.PRNGKey(0)
     for run in range(args.voting_runs):
         for batch in loader:
-            out = trainer._eval_step(trainer.state, batch)
+            dev_batch = trainer._strip_meta(batch)
+            if run > 0 and mc_step is not None:
+                rng, r = jax.random.split(rng)
+                out = mc_step(trainer.state, dev_batch, r)
+            else:
+                out = trainer._eval_step(trainer.state, dev_batch)
             valid = np.asarray(batch["graph"]["levels"][0]["valid"])
-            tracker.track(np.asarray(out["preds"]), batch["labels"], valid)
+            if run == 0:
+                tracker.track(np.asarray(out["preds"]), batch["labels"], valid)
+            if votes is not None:
+                # per-sample vote accumulation keyed by original point ids
+                logits = np.asarray(out["logits"])
+                start = 0
+                meta = batch["meta"]
+                for cloud, ids, size in zip(
+                    meta["clouds"], meta["origin_ids"], meta["sizes"]
+                ):
+                    if cloud is None or ids is None:
+                        start += size
+                        continue
+                    cloud_n = len(load_area(cloud)["pos"])
+                    votes.add(cloud, cloud_n, ids,
+                              logits[start:start + size])
+                    start += size
     metrics = tracker.get_metrics()
+
+    if votes is not None:
+        vote_tracker = SegmentationTracker(num_classes, "vote")
+        window_preds = {}
+        for cloud in votes.clouds():
+            area = load_area(cloud)
+            preds, mask = votes.preds(cloud)
+            if "labels" in area:
+                vote_tracker.track(preds[mask], area["labels"][mask])
+            name = os.path.splitext(os.path.basename(cloud))[0]
+            window_preds[name] = preds
+        metrics.update(vote_tracker.get_metrics())
+        if args.submission:
+            if cfg.data.dataset == "kitti360":
+                from deepviewagg_tpu.data.datasets.kitti360 import (
+                    write_submission,
+                )
+                print("submission:", write_submission(args.submission,
+                                                      window_preds))
+            elif cfg.data.dataset == "scannet":
+                from deepviewagg_tpu.data.datasets.scannet import (
+                    write_submission,
+                )
+                print("submission:", write_submission(args.submission,
+                                                      window_preds))
     print(json.dumps({k: round(v, 3) for k, v in metrics.items()}))
     return metrics
 
