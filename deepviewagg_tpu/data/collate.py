@@ -102,6 +102,9 @@ def collate(
         "labels": pad_to(labels, cap0, fill=-1),
         "graph": dev_graph,
     }
+    if all(s.pos is not None for s in samples):
+        pos = np.concatenate([np.asarray(s.pos, np.float32) for s in samples])
+        batch["pos"] = pad_to(pos, cap0, fill=1e6)  # pads far away
 
     if branch_levels:
         offsets = np.cumsum([0] + [len(s.coords) for s in samples])[:-1]

@@ -21,12 +21,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MaskedBatchNorm", "MaskedGroupNorm", "bn_axis_name"]
+__all__ = ["MaskedBatchNorm", "MaskedGroupNorm", "bn_axis_name", "bn_momentum"]
 
 # Trainer-scoped default axis name for cross-device (sync) batch norm inside
 # ``shard_map`` — set during step tracing so every MaskedBatchNorm in the
 # model psums its statistics without threading a field through all modules.
 _BN_AXIS = [None]
+# Trainer-scoped momentum override: the reference's BN-momentum scheduler
+# (core/schedulers/bn_schedulers.py) decays momentum across epochs; the
+# override is a trace-time constant, so each new value costs one recompile
+# (schedule it coarsely).
+_BN_MOMENTUM = [None]
 
 
 @contextlib.contextmanager
@@ -38,6 +43,16 @@ def bn_axis_name(name: Optional[str]):
         yield
     finally:
         _BN_AXIS.pop()
+
+
+@contextlib.contextmanager
+def bn_momentum(value: Optional[float]):
+    """Override every MaskedBatchNorm's momentum during tracing."""
+    _BN_MOMENTUM.append(value)
+    try:
+        yield
+    finally:
+        _BN_MOMENTUM.pop()
 
 
 class MaskedBatchNorm(nn.Module):
@@ -84,8 +99,10 @@ class MaskedBatchNorm(nn.Module):
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                mom = (self.momentum if _BN_MOMENTUM[-1] is None
+                       else _BN_MOMENTUM[-1])
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * var
         else:
             mean, var = ra_mean.value, ra_var.value
 
