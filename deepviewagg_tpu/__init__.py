@@ -13,3 +13,6 @@ Design stance (not a port):
 """
 
 __version__ = "0.1.0"
+
+from . import core  # noqa: E402,F401
+from . import ops  # noqa: E402,F401

@@ -56,8 +56,9 @@ def gather_pixel_features(
     i_cap, wf, hf, _ = feature_maps.shape
     w, h = ref_size
     vc = mapping["view_valid"].shape[0]
-    pv = jnp.minimum(mapping["pix_view"], vc - 1)
-    img_id = mapping["image_id"][pv]
+    pv = jnp.minimum(jnp.asarray(mapping["pix_view"]), vc - 1)
+    # asarray: mapping fields may be host numpy closed over by a jitted fn
+    img_id = jnp.asarray(mapping["image_id"])[pv]
     img_id = jnp.clip(img_id, 0, i_cap - 1)
     sx = wf / w
     sy = hf / h

@@ -22,9 +22,9 @@ from deepviewagg_tpu.ops import voxel
 
 
 def _make_sample(seed):
-    scene = synthetic.make_scene(seed=seed, density=60.0, n_cameras=2,
-                                 image_size=(96, 48), n_boxes=2)
-    g = voxel.grid_sample(scene.pos, 0.15, feats=scene.rgb, labels=scene.labels)
+    scene = synthetic.make_scene(seed=seed, density=40.0, n_cameras=2,
+                                 image_size=(64, 32), n_boxes=2)
+    g = voxel.grid_sample(scene.pos, 0.18, feats=scene.rgb, labels=scene.labels)
     coords = g["coords"][:, 1:]
     mapping = build_mappings(
         g["pos"], scene.cameras, VisibilityParams(voxel=0.15, max_splat=5)
@@ -85,7 +85,8 @@ def test_multimodal_early_fusion_forward_backward(batch):
         )
         return cross_entropy(o["logits"], jnp.asarray(batch["labels"]), valid)
 
-    loss0, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    loss0, grads = grad_fn(variables["params"])
     assert np.isfinite(float(loss0))
     gmax = max(float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gmax) and gmax > 0
@@ -100,7 +101,7 @@ def test_multimodal_early_fusion_forward_backward(batch):
     st = tx.init(variables["params"])
     params = variables["params"]
     for _ in range(3):
-        l, g = jax.value_and_grad(loss_fn)(params)
+        l, g = grad_fn(params)
         upd, st = tx.update(g, st)
         params = optax.apply_updates(params, upd)
     assert float(loss_fn(params)) < float(loss0)

@@ -80,7 +80,8 @@ def test_unet_padding_invariance(rng):
 def test_preset_param_count():
     """Res16UNet34 should land in the reference's ~28M-param ballpark
     (conf/models/segmentation/multimodal/sparseconv3d.yaml cost comment:
-    28.1M with the 2D tower; 3D-only is ~21M)."""
+    28.1M with the 2D tower; 3D-only is ~21M).  eval_shape only — no
+    compute."""
     model = Res16UNet.preset("Res16UNet34")
     coords = np.array([[0, x, y, 0] for x in range(6) for y in range(6)], np.int32)
     g = sparse_graph.build_unet_graph(
@@ -88,6 +89,10 @@ def test_preset_param_count():
     )
     dev = sparse_graph.graph_to_device(g)
     feats = jnp.ones((len(dev["levels"][0]["valid"]), 4), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), feats, dev, train=False)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    shapes = jax.eval_shape(
+        lambda f: model.init(jax.random.PRNGKey(0), f, dev, train=False), feats
+    )
+    n_params = sum(
+        np.prod(x.shape) for x in jax.tree_util.tree_leaves(shapes["params"])
+    )
     assert 15e6 < n_params < 45e6, n_params
