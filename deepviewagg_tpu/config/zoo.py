@@ -41,6 +41,29 @@ _NAMED = {
     "Res16UNet34": dict(backbone="Res16UNet34", branches=[]),
     "Res16UNet18": dict(backbone="Res16UNet18", branches=[]),
     "Res16UNet14": dict(backbone="Res16UNet14", branches=[]),
+    # no3d family (2D-only towers pooled to points,
+    # conf/models/segmentation/multimodal/no3d.yaml)
+    "No3D-ADE20K-group8": dict(
+        family="no3d",
+        branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
+                       num_groups=8, interpolate=True)],
+    ),
+    "No3D-L4-max": dict(
+        family="no3d",
+        branches=[dict(level=0, tower="resnet18_l4", view_pool="max",
+                       interpolate=True)],
+    ),
+    # late-fusion variants (models/segmentation/multimodal/sparseconv3d.py)
+    "Res16UNet34-LateFeatureFusion": dict(
+        backbone="Res16UNet34", family="late_feature",
+        branches=[dict(level=0, tower="resnet18_l4", view_pool="group",
+                       num_groups=8, interpolate=True)],
+    ),
+    "Res16UNet34-LateLogitFusion": dict(
+        backbone="Res16UNet34", family="late_logit",
+        branches=[dict(level=0, tower="resnet18_l4", view_pool="group",
+                       num_groups=8, interpolate=True)],
+    ),
 }
 
 _POOLS = {"max": ("max", 1), "mean": ("mean", 1), "heuristic": ("heuristic", 1),
@@ -110,6 +133,7 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
         in_channels=in_channels,
         backbone=entry.get("backbone", "Res16UNet34"),
         branches=branches,
+        family=entry.get("family", "unet"),
     )
 
 

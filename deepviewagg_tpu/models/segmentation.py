@@ -66,6 +66,7 @@ class ModelSpec:
     backbone: str = "Res16UNet34"
     branches: Tuple[Tuple[int, BranchSpec], ...] = ()  # (level, spec)
     head_dropout: float = 0.0
+    family: str = "unet"   # unet | no3d | late_feature | late_logit
 
     def branch_levels(self):
         return dict(self.branches)
@@ -261,9 +262,13 @@ class LateFusionSeg(nn.Module):
         return {"logits": logits, "x_seen": x_seen}
 
 
-def build_model(spec: ModelSpec, late_fusion: Optional[str] = None) -> nn.Module:
+def build_model(spec: ModelSpec) -> nn.Module:
     if not spec.branches:
         return SparseConv3dSeg(spec)
-    if late_fusion:
-        return LateFusionSeg(spec, mode=late_fusion)
+    if spec.family == "no3d":
+        return No3DSeg(spec)
+    if spec.family == "late_feature":
+        return LateFusionSeg(spec, mode="feature")
+    if spec.family == "late_logit":
+        return LateFusionSeg(spec, mode="logit")
     return MultimodalSeg(spec)

@@ -53,6 +53,7 @@ def data_parallel_step(
     mesh: Mesh,
     axis: str = "data",
     donate_state: bool = True,
+    per_device_metrics: Sequence[str] = ("preds",),
 ):
     """Lift a single-device ``step_fn(state, batch, rng) -> (state, metrics)``
     to the mesh.
@@ -61,25 +62,46 @@ def data_parallel_step(
     step (see train.step); BN statistics sync through
     :func:`deepviewagg_tpu.nn.norm.bn_axis_name`.  The wrapper handles batch
     stacking (leading device axis), state replication specs, and dropout-rng
-    folding (per-device distinct keys).
+    folding (per-device distinct keys).  Metric keys named in
+    ``per_device_metrics`` stay per-device (stacked on a leading device
+    axis); the rest must be replicated (pmean'd) by the step.
     """
     def per_device(state, batch, rng):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         with bn_axis_name(axis):
-            return step_fn(state, batch, rng)
+            new_state, metrics = step_fn(state, batch, rng)
+        metrics = {
+            k: (v[None] if k in per_device_metrics else v)
+            for k, v in metrics.items()
+        }
+        return new_state, metrics
 
-    mapped = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    jitted = jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+    specs = None
+    jitted = None
 
     def run(state, batches, rng):
+        nonlocal specs, jitted
         batch = stack_batches(batches) if isinstance(batches, (list, tuple)) else batches
+        if jitted is None:
+            # metric keys from the known train-step contract
+            # (loss/preds/grad_norm); callers with custom steps get specs
+            # from per_device_metrics membership on first call's output —
+            # we discover keys by peeking at the step over abstract values
+            # is impossible under psum, so use the declared contract:
+            keys = ("loss", "preds", "grad_norm")
+            specs = {k: (P(axis) if k in per_device_metrics else P())
+                     for k in keys}
+            mapped = jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(), P(axis), P()),
+                out_specs=(P(), specs),
+                check_vma=False,
+            )
+            jitted = jax.jit(
+                mapped, donate_argnums=(0,) if donate_state else ()
+            )
         new_state, metrics = jitted(state, batch, rng)
         return new_state, metrics
 

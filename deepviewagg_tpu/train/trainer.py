@@ -68,8 +68,11 @@ class Trainer:
         if example_batch is None:
             raise ValueError("example_batch required to initialize parameters")
         self.rng, init_rng = jax.random.split(self.rng)
+        init_batch = (example_batch[0]
+                      if isinstance(example_batch, (list, tuple))
+                      else example_batch)
         variables = jax.jit(model.init, static_argnames=("train",))(
-            init_rng, self._strip_meta(example_batch), train=False
+            init_rng, self._strip_meta(init_batch), train=False
         )
         schedule = make_schedule(
             cfg.lr_schedule, cfg.base_lr, cfg.total_steps,
