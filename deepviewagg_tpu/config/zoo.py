@@ -35,7 +35,7 @@ _NAMED = {
     # KITTI-360 flagship: pyramid of 2D taps fused early
     "Res16UNet34-PointPyramid-early-cityscapes-interpolate": dict(
         backbone="Res16UNet34",
-        branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
+        branches=[dict(level=0, tower="resnet18_pyramid", view_pool="group",
                        num_groups=8, fusion_mode="residual", interpolate=True)],
     ),
     "Res16UNet34": dict(backbone="Res16UNet34", branches=[]),
@@ -134,6 +134,7 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
         backbone=entry.get("backbone", "Res16UNet34"),
         branches=branches,
         family=entry.get("family", "unet"),
+        stem_kernel=entry.get("stem_kernel", 5),
     )
 
 

@@ -208,13 +208,15 @@ class BatchLoader:
 
     def __init__(self, dataset, bucket: Bucket, batch_size: int,
                  branch_levels: Sequence[int] = (), shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 conv0_kernel: int = 5):
         self.dataset = dataset
         self.bucket = bucket
         self.batch_size = batch_size
         self.branch_levels = list(branch_levels)
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.conv0_kernel = conv0_kernel
         self._rng = np.random.default_rng(seed)
 
     def _fits(self, group: List[Sample], s: Sample) -> bool:
@@ -243,12 +245,14 @@ class BatchLoader:
             if len(group) == self.batch_size or (
                 group and not self._fits(group, s)
             ):
-                yield collate(group, self.bucket, self.branch_levels)
+                yield collate(group, self.bucket, self.branch_levels,
+                              conv0_kernel=self.conv0_kernel)
                 group = []
             if self._fits([], s):
                 group.append(s)
         if group and not self.drop_last:
-            yield collate(group, self.bucket, self.branch_levels)
+            yield collate(group, self.bucket, self.branch_levels,
+                              conv0_kernel=self.conv0_kernel)
 
     def __iter__(self) -> Iterator[Dict]:
         """Prefetch one batch ahead on a worker thread so host collate

@@ -67,6 +67,10 @@ class ModelSpec:
     branches: Tuple[Tuple[int, BranchSpec], ...] = ()  # (level, spec)
     head_dropout: float = 0.0
     family: str = "unet"   # unet | no3d | late_feature | late_logit
+    # stem (conv0) kernel size: 5 matches the Res16UNet presets; 3 trades a
+    # little accuracy for ~5x fewer stem gather rows (PERF.md) — must match
+    # the collate-time graph's conv0_kernel
+    stem_kernel: int = 5
 
     def branch_levels(self):
         return dict(self.branches)
@@ -79,6 +83,10 @@ def make_tower(name: str, norm: str = "group"):
     tower binds inside the branch's parameter scope."""
     if name == "resnet18_ppm":
         fac = functools.partial(towers.ResNet18PPM, out_channels=128,
+                                norm=norm, name="tower")
+        return fac, 128
+    if name == "resnet18_pyramid":
+        fac = functools.partial(towers.ResNet18Pyramid, out_channels=128,
                                 norm=norm, name="tower")
         return fac, 128
     if name.startswith("resnet18_l"):

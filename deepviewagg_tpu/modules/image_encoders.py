@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["Conv2dWS", "ResNet18", "PPM", "ResNet18PPM", "OUT_CHANNELS"]
+__all__ = ["Conv2dWS", "ResNet18", "PPM", "ResNet18PPM", "ResNet18Pyramid",
+           "OUT_CHANNELS"]
 
 # channels of each tap level for ResNet18: stem, layer1..layer4
 OUT_CHANNELS = (64, 64, 128, 256, 512)
@@ -181,6 +182,33 @@ class PPM(nn.Module):
             feats.append(y)
         y = jnp.concatenate(feats, axis=-1)
         y = Conv2dWS(self.out_channels, (3, 3), standardize=ws)(y)
+        y = _Norm(self.norm)(y, train)
+        return nn.relu(y)
+
+
+class ResNet18Pyramid(nn.Module):
+    """All trunk taps resized to the finest tap and concatenated — the
+    single-map equivalent of the reference's pyramid towers
+    (``ADE20KResNet18Pyramid`` image.py:793-957): one gather serves features
+    from every scale, and the branch's 'interpolate' path samples it at
+    mapping resolution.  Used by the PointPyramid configs."""
+
+    out_level: int = 4
+    norm: str = "group"
+    out_channels: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        taps = ResNet18(out_level=self.out_level, norm=self.norm,
+                        pyramid=True)(x, train)
+        n, w, h, _ = taps[0].shape
+        resized = [taps[0]] + [
+            jax.image.resize(t, (n, w, h, t.shape[-1]), "bilinear")
+            for t in taps[1:]
+        ]
+        y = jnp.concatenate(resized, axis=-1)
+        ws = self.norm == "group"
+        y = Conv2dWS(self.out_channels, (1, 1), standardize=ws)(y)
         y = _Norm(self.norm)(y, train)
         return nn.relu(y)
 

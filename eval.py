@@ -50,7 +50,7 @@ def main(argv=None):
     bucket = auto_bucket(cfg, val_ds, branch_levels)
     model = build_model(spec)
     loader = BatchLoader(val_ds, bucket, cfg.data.batch_size, branch_levels,
-                         shuffle=False)
+                         shuffle=False, conv0_kernel=spec.stem_kernel)
     example = next(iter(loader))
     tcfg = TrainerConfig(run_dir=args.run_dir)
     trainer = Trainer(model, num_classes, tcfg, example_batch=example)

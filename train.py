@@ -139,10 +139,11 @@ def main(argv=None):
     model = build_model(spec)
     train_loader = BatchLoader(
         train_ds, bucket, cfg.data.batch_size, branch_levels, shuffle=True,
-        seed=cfg.training.seed,
+        seed=cfg.training.seed, conv0_kernel=spec.stem_kernel,
     )
     val_loader = BatchLoader(
         val_ds, bucket, cfg.data.batch_size, branch_levels, shuffle=False,
+        conv0_kernel=spec.stem_kernel,
     )
     example = next(iter(train_loader))
 
