@@ -16,16 +16,21 @@ __all__ = ["cross_entropy", "lovasz_softmax", "segmentation_loss"]
 IGNORE_LABEL = -1
 
 
-def cross_entropy(logits, labels, valid=None):
-    """Mean masked CE.  ``labels`` int32 with -1 = ignore."""
+def cross_entropy(logits, labels, valid=None, class_weights=None):
+    """Mean masked CE.  ``labels`` int32 with -1 = ignore; optional
+    per-class weights (the reference's sqrt-inverse-frequency weights,
+    datasets/base_dataset.py:558)."""
     mask = labels != IGNORE_LABEL
     if valid is not None:
         mask = mask & valid
     safe = jnp.maximum(labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
-    nll = jnp.where(mask, nll, 0.0)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+    w = mask.astype(jnp.float32)
+    if class_weights is not None:
+        w = w * jnp.asarray(class_weights, jnp.float32)[safe]
+    nll = nll * w
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
 def _lovasz_grad(fg_sorted):
@@ -63,11 +68,20 @@ def lovasz_softmax(logits, labels, valid=None):
     return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1.0)
 
 
-def segmentation_loss(logits, labels, valid=None, lovasz_weight: float = 0.0):
-    loss = cross_entropy(logits, labels, valid)
+def segmentation_loss(logits, labels, valid=None, lovasz_weight: float = 0.0,
+                      class_weights=None):
+    loss = cross_entropy(logits, labels, valid, class_weights)
     if lovasz_weight > 0:
         loss = loss + lovasz_weight * lovasz_softmax(logits, labels, valid)
     return loss
+
+
+def sqrt_inverse_class_weights(label_counts) -> "jnp.ndarray":
+    """``1/sqrt(freq)`` normalized class weights
+    (datasets/base_dataset.py:558-575)."""
+    counts = jnp.maximum(jnp.asarray(label_counts, jnp.float32), 1.0)
+    w = 1.0 / jnp.sqrt(counts / counts.sum())
+    return w / w.mean()
 
 
 def view_level_loss(view_logits, labels, point_id, view_valid):

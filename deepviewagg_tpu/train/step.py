@@ -53,6 +53,7 @@ def make_train_step(
     model,
     lovasz_weight: float = 0.0,
     axis: Optional[str] = None,
+    class_weights=None,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -72,7 +73,8 @@ def make_train_step(
                 rngs={"dropout": rng},
             )
             loss = segmentation_loss(
-                out["logits"], batch["labels"], valid, lovasz_weight
+                out["logits"], batch["labels"], valid, lovasz_weight,
+                class_weights,
             )
             return loss, (updates["batch_stats"], out["logits"])
 

@@ -46,6 +46,8 @@ class TrainerConfig:
     num_batches_cap: Optional[int] = None    # debugging.num_batches
     selection_metric: str = "val_miou"
     data_parallel: bool = False
+    profile_epochs: tuple = ()               # epochs to capture jax traces
+    class_weights: Optional[tuple] = None    # per-class CE weights
     log_fn: Callable[[str], None] = print
 
 
@@ -88,7 +90,11 @@ class Trainer:
         self.state = TrainState.create(variables, tx)
 
         axis = "data" if cfg.data_parallel else None
-        train_step = make_train_step(model, cfg.lovasz_weight, axis=axis)
+        train_step = make_train_step(
+            model, cfg.lovasz_weight, axis=axis,
+            class_weights=(None if cfg.class_weights is None
+                           else list(cfg.class_weights)),
+        )
         eval_step = make_eval_step(model)
         if cfg.data_parallel:
             self.mesh = make_mesh()
@@ -176,7 +182,14 @@ class Trainer:
         all_metrics: Dict[str, float] = {}
         for _ in range(epochs or self.cfg.epochs):
             self.epoch += 1
-            m = self.train_epoch(train_data())
+            if self.epoch in self.cfg.profile_epochs and self.cfg.run_dir:
+                # jax profiler trace (the reference's debugging.profiling
+                # hook, trainer.py:281-290, upgraded to the XLA profiler)
+                import jax.profiler as _prof
+                with _prof.trace(f"{self.cfg.run_dir}/profile_ep{self.epoch}"):
+                    m = self.train_epoch(train_data())
+            else:
+                m = self.train_epoch(train_data())
             all_metrics.update(m)
             log(f"epoch {self.epoch}: "
                 + " ".join(f"{k}={v:.3f}" for k, v in m.items()))
