@@ -20,28 +20,73 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
-CACHE = os.path.join(os.path.dirname(__file__), ".bench_batch.pkl")
+CACHE = os.path.join(os.path.dirname(__file__), "bench_batch.npz")
+
+
+def _flatten(tree, prefix=""):
+    import numpy as np
+
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        elif isinstance(v, list):
+            for i, e in enumerate(v):
+                out.update(_flatten(e, f"{key}/{i}/"))
+        elif isinstance(v, np.ndarray):
+            out[key] = v
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node)
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
 
 
 def _get_batch():
-    """Deterministic flagship-shaped batch, disk-cached: the mapping-factory
-    preprocessing is one-time work (as in the reference), not part of the
-    benchmarked step."""
-    import pickle
+    """Deterministic flagship-shaped batch, cached as a compressed npz
+    (committed): the mapping-factory preprocessing is one-time work (as in
+    the reference), not part of the benchmarked step."""
+    import numpy as np
 
     if os.path.exists(CACHE):
-        with open(CACHE, "rb") as f:
-            return pickle.load(f)
+        z = np.load(CACHE)
+        batch = _unflatten({k: z[k] for k in z.files})
+        batch["meta"] = {"num_valid": int(batch.pop("num_valid"))}
+        return batch
+    from deepviewagg_tpu.data.collate import device_view
     from deepviewagg_tpu.data.toy import toy_batch
 
     batch, bucket, _ = toy_batch(
         n_samples=4, density=260.0, image_size=(256, 128), n_cameras=3,
     )
+    n_valid = batch["meta"]["num_valid"]
+    flat = _flatten(device_view(batch))
+    flat["num_valid"] = np.asarray(n_valid)
     try:
-        with open(CACHE, "wb") as f:
-            pickle.dump(batch, f)
+        np.savez_compressed(CACHE, **flat)
     except OSError:
         pass
+    batch = device_view(batch)
+    batch["meta"] = {"num_valid": n_valid}
     return batch
 
 

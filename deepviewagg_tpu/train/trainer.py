@@ -61,11 +61,12 @@ class Trainer:
     """
 
     def __init__(self, model, num_classes: int, cfg: TrainerConfig,
-                 example_batch=None, seed: int = 0):
+                 example_batch=None, seed: int = 0, run_config=None):
         self.model = model
         self.cfg = cfg
         self.num_classes = num_classes
         self.rng = jax.random.PRNGKey(seed)
+        self.run_config = run_config
 
         if example_batch is None:
             raise ValueError("example_batch required to initialize parameters")
@@ -106,7 +107,8 @@ class Trainer:
         self._eval_step = jax.jit(eval_step)
 
         self.checkpoint = (
-            CheckpointManager(cfg.run_dir) if cfg.run_dir else None
+            CheckpointManager(cfg.run_dir, run_config=run_config)
+            if cfg.run_dir else None
         )
         from ..utils.logging import MetricLogger
         self.logger = MetricLogger(cfg.run_dir)

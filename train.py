@@ -166,7 +166,7 @@ def main(argv=None):
         data_parallel=cfg.training.data_parallel,
     )
     trainer = Trainer(model, num_classes, tcfg, example_batch=example,
-                      seed=cfg.training.seed)
+                      seed=cfg.training.seed, run_config=cfg.to_dict())
     if cfg.training.resume and trainer.checkpoint and trainer.checkpoint.has("latest"):
         trainer.state = trainer.checkpoint.restore_state("latest", trainer.state)
         print("resumed from latest checkpoint")
