@@ -48,6 +48,7 @@ class TrainerConfig:
     data_parallel: bool = False
     profile_epochs: tuple = ()               # epochs to capture jax traces
     class_weights: Optional[tuple] = None    # per-class CE weights
+    visualize_every: int = 0                 # epochs between sample dumps
     log_fn: Callable[[str], None] = print
 
 
@@ -157,8 +158,29 @@ class Trainer:
                 losses={"loss": float(metrics["loss"])},
             )
 
+    def _save_visuals(self, batch, preds):
+        """Per-epoch sample dump (the reference Visualizer role,
+        visualization/visualizer.py:10): one .ply with labels+preds."""
+        if "pos" not in batch or self.cfg.run_dir is None:
+            return
+        import os
+
+        from ..visualization import save_ply_snapshot
+
+        n = batch["meta"]["num_valid"] if "meta" in batch else len(preds)
+        save_ply_snapshot(
+            os.path.join(self.cfg.run_dir, "viz",
+                         f"epoch_{self.epoch}.ply"),
+            np.asarray(batch["pos"])[:n],
+            labels=np.asarray(batch["labels"])[:n],
+            preds=np.asarray(preds)[:n],
+        )
+
     def eval_epoch(self, batches: Iterable, stage: str = "val") -> Dict[str, float]:
         tracker = SegmentationTracker(self.num_classes, stage)
+        visualized = self.cfg.visualize_every <= 0 or (
+            self.epoch % self.cfg.visualize_every != 0
+        )
         for i, batch in enumerate(batches):
             if self.cfg.num_batches_cap and i >= self.cfg.num_batches_cap:
                 break
@@ -175,6 +197,9 @@ class Trainer:
                     np.asarray(out["preds"]), batch["labels"],
                     np.asarray(batch["graph"]["levels"][0]["valid"]),
                 )
+                if not visualized:
+                    self._save_visuals(batch, np.asarray(out["preds"]))
+                    visualized = True
         return tracker.get_metrics()
 
     # ------------------------------------------------------------------
