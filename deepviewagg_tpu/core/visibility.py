@@ -38,6 +38,7 @@ __all__ = [
     "orientation_to_normal",
     "postprocess_features",
     "depth_map_visibility",
+    "biasutti_visibility",
 ]
 
 
@@ -250,6 +251,27 @@ def depth_map_visibility(x_proj, y_proj, dist, depth_map, depth_threshold=0.05):
     d_ref = depth_map[xi, yi]
     ok = (d_ref > 0) & (jnp.abs(dist - d_ref) <= depth_threshold * d_ref)
     return ok
+
+
+def biasutti_visibility(x_proj, y_proj, dist, valid, k: int = 75,
+                        margin: float = 0.1):
+    """Image-space kNN visibility (Biasutti et al.; reference
+    ``BiasuttiVisibility`` visibility.py:1395-1460 over pykeops): a point is
+    visible when its depth is close to the minimum among its k nearest
+    *projected* neighbors — no splatting, no z-buffer.
+
+    Returns a bool mask over points.
+    """
+    from ..ops.knn import knn
+    import numpy as np
+
+    pix = jnp.stack([x_proj, y_proj], axis=1)
+    d2, idx = knn(pix, pix, k=k, valid=valid)
+    nbr_depth = jnp.asarray(np.asarray(dist))[jnp.asarray(idx)]
+    d_min = jnp.min(nbr_depth, axis=1)
+    d_max = jnp.max(nbr_depth, axis=1)
+    alpha = (jnp.asarray(dist) - d_min) / jnp.maximum(d_max - d_min, 1e-6)
+    return jnp.asarray(valid) & (alpha <= margin)
 
 
 def normalize_depth(dist, r_min=0.5, r_max=30.0):

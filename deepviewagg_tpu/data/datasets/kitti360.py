@@ -87,6 +87,105 @@ def read_perspective_calib(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def read_fisheye_calib(path: str) -> Optional[np.ndarray]:
+    """``calibration/image_02.yaml`` (or _03) -> MEI intrinsics
+    [xi, k1, k2, gamma1, gamma2, u0, v0] (multimodal/kitti360.py:120-188)."""
+    import yaml
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        text = f.read()
+    # KITTI-360 yamls start with a %YAML directive some parsers dislike
+    text = "\n".join(l for l in text.splitlines() if not l.startswith("%"))
+    d = yaml.safe_load(text)
+    try:
+        mp = d["mirror_parameters"]
+        dp = d["distortion_parameters"]
+        pp = d["projection_parameters"]
+        return np.array([
+            mp["xi"], dp["k1"], dp["k2"],
+            pp["gamma1"], pp["gamma2"], pp["u0"], pp["v0"],
+        ], np.float32)
+    except (KeyError, TypeError):
+        return None
+
+
+def read_cam_to_pose(path: str) -> dict:
+    """``calibration/calib_cam_to_pose.txt``: per-camera 3x4 cam->IMU."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, val = line.split(":", 1)
+            m = np.fromstring(val, sep=" ", dtype=np.float64)
+            if m.size == 12:
+                e = np.eye(4)
+                e[:3] = m.reshape(3, 4)
+                out[key.strip()] = e.astype(np.float32)
+    return out
+
+
+def read_imu_poses(path: str) -> dict:
+    """``data_poses/<seq>/poses.txt``: frame + 3x4 IMU->world."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    data = np.loadtxt(path, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[None]
+    for row in data:
+        e = np.eye(4)
+        e[:3] = row[1:13].reshape(3, 4)
+        out[int(row[0])] = e.astype(np.float32)
+    return out
+
+
+def fisheye_cameras(root: str, seq: str, start: int, end: int,
+                    image_size=FISHEYE_SIZE, frame_step: int = 10,
+                    cam_ids=(2, 3)) -> List[dict]:
+    """MEI fisheye cam2/cam3: cam->world = IMU_pose @ cam_to_pose
+    (multimodal/kitti360.py:120-188; our projection implements the correct
+    CPU semantics, SURVEY.md §A.10.1)."""
+    cam_to_pose = read_cam_to_pose(
+        os.path.join(root, "calibration", "calib_cam_to_pose.txt")
+    )
+    poses = read_imu_poses(os.path.join(root, "data_poses", seq, "poses.txt"))
+    out = []
+    for cam_id in cam_ids:
+        fe = read_fisheye_calib(
+            os.path.join(root, "calibration", f"image_0{cam_id}.yaml")
+        )
+        c2p = cam_to_pose.get(f"image_0{cam_id}")
+        if fe is None or c2p is None:
+            continue
+        # rescale the affine MEI part to the bucket resolution
+        sx = image_size[0] / FISHEYE_SIZE[0]
+        sy = image_size[1] / FISHEYE_SIZE[1]
+        fe = fe * np.array([1, 1, 1, sx, sy, sx, sy], np.float32)
+        for frame in sorted(poses):
+            if not (start <= frame <= end and frame % frame_step == 0):
+                continue
+            img = os.path.join(
+                root, "data_2d_raw", seq, f"image_0{cam_id}", "data_rgb",
+                f"{frame:010d}.png",
+            )
+            if not os.path.exists(img):
+                continue
+            out.append({
+                "path": img,
+                "camera": Camera(
+                    model="kitti360_fisheye", size=tuple(image_size),
+                    extrinsic=poses[frame] @ c2p, fisheye=fe,
+                    r_min=R_MIN, r_max=R_MAX,
+                ),
+            })
+    return out
+
+
 def _window_key(path: str) -> Tuple[str, int, int]:
     seq = re.search(r"(2013_05_28_drive_\d+_sync)", path)
     m = re.search(r"(\d+)_(\d+)\.ply$", path)
@@ -159,6 +258,7 @@ def preprocess_kitti360_window(
     root: str, window_ply: str, out_dir: str, voxel_size: float = 0.05,
     image_size=(704, 188), frame_step: int = 10,
     max_images: Optional[int] = 30,
+    use_fisheye: bool = False,
 ) -> str:
     os.makedirs(out_dir, exist_ok=True)
     seq, start, end = _window_key(window_ply)
@@ -172,6 +272,10 @@ def preprocess_kitti360_window(
     g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
     geo = pca_features(g["pos"], k=50)
     cams_meta = window_cameras(root, seq, start, end, image_size, frame_step)
+    if use_fisheye:
+        # fisheye frames share the pinhole image_size bucket (resized)
+        cams_meta += fisheye_cameras(root, seq, start, end, image_size,
+                                     frame_step)
     if max_images:
         cams_meta = cams_meta[:max_images]
     cams = [c["camera"] for c in cams_meta]
