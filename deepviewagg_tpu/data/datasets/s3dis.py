@@ -113,6 +113,7 @@ def preprocess_s3dis_area(
     image_size=(1024, 512),
     max_images: Optional[int] = None,
     exact_splatting: bool = True,
+    keep_raw: bool = False,
 ) -> str:
     """One-time preprocess of one area -> cache .npz (SURVEY.md §3.4).
 
@@ -158,12 +159,18 @@ def preprocess_s3dis_area(
     )
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
     images = normalize_images(images)
-    save_area(out_path, {
+    payload = {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
         "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
         "mapping": mapping, "images": images.astype(np.float32),
-    })
+    }
+    if keep_raw:
+        # raw (pre-voxelization) cloud for full-resolution vote remap
+        # (s3dis_tracker.py:94-120)
+        payload["raw_pos"] = pos.astype(np.float32)
+        payload["raw_labels"] = labels.astype(np.int32)
+    save_area(out_path, payload)
     return out_path
 
 

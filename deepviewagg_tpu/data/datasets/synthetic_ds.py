@@ -32,6 +32,7 @@ def build_synthetic_cache(
     image_size=(128, 64),
     voxel_size: float = 0.06,
     seed: int = 0,
+    keep_raw: bool = False,
 ) -> list:
     """Preprocess + cache synthetic areas; returns the .npz paths."""
     os.makedirs(root, exist_ok=True)
@@ -57,12 +58,16 @@ def build_synthetic_cache(
             geometric=geo, nn_idx=geo["nn_idx"],
         )
         imgs = synthetic.render_views(scene, mapping)
-        save_area(path, {
+        payload = {
             "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
             "normal": geo["normal"],
             "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
             "mapping": mapping, "images": imgs,
-        })
+        }
+        if keep_raw:
+            payload["raw_pos"] = scene.pos
+            payload["raw_labels"] = scene.labels
+        save_area(path, payload)
     return paths
 
 

@@ -98,6 +98,8 @@ def main(argv=None):
 
     if votes is not None:
         vote_tracker = SegmentationTracker(num_classes, "vote")
+        full_tracker = SegmentationTracker(num_classes, "full_res")
+        any_full = False
         window_preds = {}
         for cloud in votes.clouds():
             area = load_area(cloud)
@@ -105,8 +107,19 @@ def main(argv=None):
             if "labels" in area:
                 vote_tracker.track(preds[mask], area["labels"][mask])
             name = os.path.splitext(os.path.basename(cloud))[0]
-            window_preds[name] = preds
+            if args.full_res and "raw_pos" in area:
+                # 1-NN remap of votes onto the raw cloud (§A.9 voting)
+                full = votes.full_res_preds(cloud, area["pos"],
+                                            area["raw_pos"])
+                window_preds[name] = full
+                if "raw_labels" in area:
+                    full_tracker.track(full, area["raw_labels"])
+                    any_full = True
+            else:
+                window_preds[name] = preds
         metrics.update(vote_tracker.get_metrics())
+        if any_full:
+            metrics.update(full_tracker.get_metrics())
         if args.submission:
             if cfg.data.dataset == "kitti360":
                 from deepviewagg_tpu.data.datasets.kitti360 import (
