@@ -9,9 +9,9 @@ TPU adaptations:
   * caches are ``.npz`` bundles of the flat mapping arrays (not pickled
     object graphs);
   * ``BatchLoader`` groups samples into *fixed buckets* and pads — the
-    static-shape contract (SURVEY.md §7 move 1) replacing dynamic batching;
-  * workers are plain processes via ``multiprocessing`` when requested; the
-    default is synchronous (host preprocessing is already amortized).
+    static-shape contract (SURVEY.md §7 move 1) replacing dynamic batching —
+    and prefetches one batch on a worker thread so collate overlaps device
+    compute.
 """
 
 from __future__ import annotations
