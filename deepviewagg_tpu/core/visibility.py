@@ -268,10 +268,14 @@ def biasutti_visibility(x_proj, y_proj, dist, valid, k: int = 75,
     pix = jnp.stack([x_proj, y_proj], axis=1)
     d2, idx = knn(pix, pix, k=k, valid=valid)
     nbr_depth = jnp.asarray(np.asarray(dist))[jnp.asarray(idx)]
-    d_min = jnp.min(nbr_depth, axis=1)
-    d_max = jnp.max(nbr_depth, axis=1)
+    # rows with fewer than k valid candidates get filler indices (their d2
+    # is the 1e30 sentinel) — exclude those neighbors from the depth range
+    ok = jnp.asarray(d2) < 1e29
+    d_min = jnp.min(jnp.where(ok, nbr_depth, jnp.inf), axis=1)
+    d_max = jnp.max(jnp.where(ok, nbr_depth, -jnp.inf), axis=1)
+    span_ok = jnp.isfinite(d_min) & jnp.isfinite(d_max)
     alpha = (jnp.asarray(dist) - d_min) / jnp.maximum(d_max - d_min, 1e-6)
-    return jnp.asarray(valid) & (alpha <= margin)
+    return jnp.asarray(valid) & span_ok & (alpha <= margin)
 
 
 def normalize_depth(dist, r_min=0.5, r_max=30.0):

@@ -268,8 +268,9 @@ class BatchLoader:
             try:
                 for b in self._iter_sync():
                     q.put(b)
-            finally:
                 q.put(stop)
+            except BaseException as e:  # surface errors in the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -277,4 +278,6 @@ class BatchLoader:
             b = q.get()
             if b is stop:
                 break
+            if isinstance(b, BaseException):
+                raise b
             yield b

@@ -315,15 +315,30 @@ def make_kitti360_dataset(
     split = "train" if train else "val"
     plys = []
     pattern = os.path.join(root, "data_3d_semantics", "*", "static", "*.ply")
-    split_list = os.path.join(
-        root, "data_3d_semantics", f"2013_05_28_drive_{split}.txt"
-    )
-    if os.path.exists(split_list):
+    # the official lists live either directly under data_3d_semantics or in
+    # its train/ subdir depending on the release layout
+    candidates = [
+        os.path.join(root, "data_3d_semantics", f"2013_05_28_drive_{split}.txt"),
+        os.path.join(root, "data_3d_semantics", "train",
+                     f"2013_05_28_drive_{split}.txt"),
+    ]
+    split_list = next((c for c in candidates if os.path.exists(c)), None)
+    if split_list:
         with open(split_list) as f:
             listed = [os.path.join(root, l.strip()) for l in f if l.strip()]
         plys = [p for p in listed if os.path.exists(p)]
     else:
-        plys = sorted(glob.glob(pattern))
+        # no official lists: deterministic 90/10 split by window name so
+        # train and val NEVER overlap
+        all_plys = sorted(glob.glob(pattern))
+        import warnings
+
+        warnings.warn("KITTI-360 split lists not found; using a "
+                      "deterministic 90/10 window split")
+        plys = [p for i, p in enumerate(all_plys)
+                if (i % 10 != 0) == train]
+        if not plys:   # tiny corpora: better overlapped than empty
+            plys = all_plys
     if sequences:
         plys = [p for p in plys if any(s in p for s in sequences)]
     if not plys:

@@ -72,7 +72,9 @@ def load_scan_cloud(scan_dir: str):
 
 def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20):
     """Every ``frame_step``-th exported frame (the reference subsamples the
-    video stream the same way)."""
+    video stream the same way).  The color intrinsics are defined at the
+    native export resolution — rescale them to ``image_size`` (read from the
+    first frame) so mappings stay aligned with the resized images."""
     intr_path = os.path.join(scan_dir, "intrinsic", "intrinsic_color.txt")
     k = (np.loadtxt(intr_path, dtype=np.float32).reshape(4, 4)
          if os.path.exists(intr_path) else None)
@@ -81,6 +83,16 @@ def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20):
         glob.glob(os.path.join(scan_dir, "pose", "*.txt")),
         key=lambda p: int(os.path.splitext(os.path.basename(p))[0]),
     )
+    if k is not None and poses:
+        first_idx = os.path.splitext(os.path.basename(poses[0]))[0]
+        first_img = os.path.join(scan_dir, "color", f"{first_idx}.jpg")
+        if os.path.exists(first_img):
+            from PIL import Image
+
+            native_w, native_h = Image.open(first_img).size
+            k = k.copy()
+            k[0] *= image_size[0] / native_w
+            k[1] *= image_size[1] / native_h
     for pose_path in poses[::frame_step]:
         idx = os.path.splitext(os.path.basename(pose_path))[0]
         color = os.path.join(scan_dir, "color", f"{idx}.jpg")
@@ -165,6 +177,14 @@ def make_scannet_dataset(
     if os.path.exists(split_file):
         keep = {l.strip() for l in open(split_file) if l.strip()}
         scans = [s for s in scans if os.path.basename(s) in keep]
+    elif len(scans) > 1:
+        # no official list: deterministic 90/10 split, never overlapping
+        import warnings
+
+        warnings.warn("ScanNet split lists not found; using a deterministic "
+                      "90/10 scan split")
+        split = [s for i, s in enumerate(scans) if (i % 10 != 0) == train]
+        scans = split or scans   # tiny corpora: better overlapped than empty
     if not scans:
         raise FileNotFoundError(f"no scans under {root}/scans")
     paths = [

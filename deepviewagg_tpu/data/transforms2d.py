@@ -197,10 +197,12 @@ def crop_images(cloud: dict, crop_size: Tuple[int, int]) -> dict:
     for i in range(m.num_images):
         sel = pix_img == i
         if sel.any():
+            # clamp so the crop window [x0, x0+cw) stays inside the image
+            # for odd sizes too (x0 <= full_w - cw)
             cx = int(np.clip((m.pix_x[sel].min() + m.pix_x[sel].max()) // 2,
-                             cw // 2, full_w - cw // 2))
+                             cw // 2, full_w - (cw - cw // 2)))
             cy = int(np.clip((m.pix_y[sel].min() + m.pix_y[sel].max()) // 2,
-                             ch // 2, full_h - ch // 2))
+                             ch // 2, full_h - (ch - ch // 2)))
         else:
             cx, cy = cw // 2, ch // 2
         x0, y0 = cx - cw // 2, cy - ch // 2

@@ -171,7 +171,9 @@ class MultimodalSeg(nn.Module):
                 x, batch["graph"], i, train=train
             )
             lvl = i + 1
-            if lvl in branch_at and lvl < n_down:
+            # branches may sit at any encoder level incl. the bottleneck
+            # (lvl == n_down), fusing before the decoder
+            if lvl in branch_at:
                 x, _ = run_branch(lvl, x)
             if i < n_down - 1:
                 skips.append(x)

@@ -54,12 +54,20 @@ def make_train_step(
     lovasz_weight: float = 0.0,
     axis: Optional[str] = None,
     class_weights=None,
+    ignore_unseen: Optional[bool] = None,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
     ``axis``: mesh axis name when the step runs inside shard_map — gradients
     and new BN stats are pmean'd so every device applies identical updates.
+    ``ignore_unseen``: mask points no view reaches out of the loss — the
+    reference does this for the image-only No3D models (no3d.py:130-134),
+    where unseen points carry no signal; defaults to True for No3DSeg.
     """
+    if ignore_unseen is None:
+        from ..models.segmentation import No3DSeg
+
+        ignore_unseen = isinstance(model, No3DSeg)
 
     def step(state: TrainState, batch: Dict, rng) -> tuple:
         valid = batch["graph"]["levels"][0]["valid"]
@@ -72,8 +80,11 @@ def make_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
+            loss_valid = valid
+            if ignore_unseen and "x_seen" in out:
+                loss_valid = loss_valid & out["x_seen"]
             loss = segmentation_loss(
-                out["logits"], batch["labels"], valid, lovasz_weight,
+                out["logits"], batch["labels"], loss_valid, lovasz_weight,
                 class_weights,
             )
             return loss, (updates["batch_stats"], out["logits"])

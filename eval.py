@@ -64,6 +64,12 @@ def main(argv=None):
     tracker = SegmentationTracker(num_classes, "test")
     do_votes = args.voting_runs > 1 or args.full_res or args.submission
     votes = VoteAccumulator(num_classes) if do_votes else None
+    cloud_sizes = {}   # avoid re-loading whole areas per sample
+
+    def cloud_size(cloud):
+        if cloud not in cloud_sizes:
+            cloud_sizes[cloud] = len(load_area(cloud)["pos"])
+        return cloud_sizes[cloud]
     mc_step = None
     if args.voting_runs > 1:
         mc_step = jax.jit(make_eval_step(model, mc_dropout=True))
@@ -90,8 +96,7 @@ def main(argv=None):
                     if cloud is None or ids is None:
                         start += size
                         continue
-                    cloud_n = len(load_area(cloud)["pos"])
-                    votes.add(cloud, cloud_n, ids,
+                    votes.add(cloud, cloud_size(cloud), ids,
                               logits[start:start + size])
                     start += size
     metrics = tracker.get_metrics()

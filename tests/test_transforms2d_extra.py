@@ -46,6 +46,12 @@ def test_crop_images_keeps_views(cloud):
     assert m.num_views == cloud["mapping"].num_views
 
 
+def test_crop_images_odd_sizes(cloud):
+    out = transforms2d.crop_images(dict(cloud), (63, 31))
+    out["mapping"].check()
+    assert out["images"].shape[1:3] == (63, 31)
+
+
 def test_horizontal_flip_roundtrip(cloud, rng):
     out = transforms2d.random_horizontal_flip(dict(cloud), rng, p=1.0)
     out2 = transforms2d.random_horizontal_flip(out, rng, p=1.0)

@@ -15,6 +15,7 @@ GRAMMAR_SWEEP = [
     # fusion depth x pooling x tower x interpolate axes
     "Res16UNet14-L1-early-group4-interpolate",
     "Res16UNet14-L2-intermediate1-max",
+    "Res16UNet14-L1-intermediate4-max",   # bottleneck-level branch
     "Res16UNet14-L1-intermediate2-mean-interpolate",
     "Res16UNet14-L1-early-qkv",
     "Res16UNet14-L1-early-heuristic-scratch",
@@ -25,7 +26,7 @@ GRAMMAR_SWEEP = [
 @pytest.fixture(scope="module")
 def batch():
     b, _, _ = toy_batch(n_samples=1, density=25.0, image_size=(64, 32),
-                        n_cameras=1, branch_levels=(0, 1, 2))
+                        n_cameras=1, branch_levels=(0, 1, 2, 4))
     return device_view(b)
 
 

@@ -165,12 +165,41 @@ def main(argv=None):
         if not cfg.training.early_break else 2,
         data_parallel=cfg.training.data_parallel,
     )
+    def chunk_per_device(loader):
+        """data_parallel contract: each step consumes one bucket-shaped
+        batch per device (trainer.py docstring); remainders repeat the last
+        batch to keep the device count static."""
+        import jax
+
+        n = len(jax.devices())
+
+        def gen():
+            buf = []
+            for b in loader:
+                buf.append(b)
+                if len(buf) == n:
+                    yield buf
+                    buf = []
+            if buf:
+                while len(buf) < n:
+                    buf.append(buf[-1])
+                yield buf
+        return gen()
+
+    if cfg.training.data_parallel:
+        make_train = lambda: chunk_per_device(iter(train_loader))  # noqa: E731
+        make_val = lambda: chunk_per_device(iter(val_loader))      # noqa: E731
+        example = next(chunk_per_device(iter([example])))
+    else:
+        make_train = lambda: iter(train_loader)                    # noqa: E731
+        make_val = lambda: iter(val_loader)                        # noqa: E731
+
     trainer = Trainer(model, num_classes, tcfg, example_batch=example,
                       seed=cfg.training.seed, run_config=cfg.to_dict())
     if cfg.training.resume and trainer.checkpoint and trainer.checkpoint.has("latest"):
         trainer.state = trainer.checkpoint.restore_state("latest", trainer.state)
         print("resumed from latest checkpoint")
-    metrics = trainer.fit(lambda: iter(train_loader), lambda: iter(val_loader))
+    metrics = trainer.fit(make_train, make_val)
     print("final:", {k: round(v, 3) for k, v in metrics.items()})
     return metrics
 
