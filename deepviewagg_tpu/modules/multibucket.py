@@ -1,0 +1,119 @@
+"""Multi-bucket image branch: crop-size families on device.
+
+Device counterpart of :mod:`deepviewagg_tpu.data.crop_groups`: the batch
+carries one image tensor + pixel table per crop-size bucket, all referencing
+a single global view table.  The 2D tower (shared parameters) runs per
+bucket; per-bucket atomic pools are summed into the global per-view features
+— exact because each view's pixels live in exactly one bucket and empty
+segments reduce to 0 (`ops/segment.py`).
+
+This is the reference's ``ImageData``-of-``SameSettingImageData`` forward
+(multi crop families per sample, modules/multimodal/modules.py:442-539 +
+view_cat machinery image.py:1550-1616) in static-shape form.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import segment as seg
+from .fusion import BimodalFusion
+from .pooling import GroupViewPool, SegmentPool
+
+__all__ = ["MultiBucketBranch"]
+
+
+class MultiBucketBranch(nn.Module):
+    """Image branch over crop-group buckets.
+
+    ``mm["view"]`` holds the global view table; ``mm["buckets"]`` a list of
+    ``{images [Ib, w, h, 3], pix_view, pix_x, pix_y, pix_valid, pix_image}``
+    — note pixels carry their local image index directly (no view->image
+    lookup needed).
+    """
+
+    tower: Optional[Any]          # factory, shared across buckets
+    out_channels: int
+    atomic_reduce: str = "max"
+    view_pool: str = "group"
+    num_groups: int = 1
+    gated: bool = True
+    interpolate: bool = True
+    fusion_mode: str = "residual"
+
+    @nn.compact
+    def __call__(self, x_3d, mm: Dict, train: bool = True,
+                 num_points: Optional[int] = None):
+        view = mm["view"]
+        vc = view["view_valid"].shape[0]
+        if x_3d is not None:
+            num_points = x_3d.shape[0]
+
+        tower = self.tower() if self.tower is not None else None
+        partials = []
+        for b, bucket in enumerate(mm["buckets"]):
+            images = bucket["images"]
+            if images.shape[0] == 0:
+                continue
+            feats_2d = tower(images, train) if tower is not None else images
+            ref_size = (images.shape[1], images.shape[2])
+            pix_feats = self._gather(feats_2d, bucket, ref_size)
+            partial = seg.segment_reduce(
+                pix_feats, bucket["pix_view"], vc + 1, self.atomic_reduce,
+                valid=bucket["pix_valid"],
+            )[:vc]
+            partials.append(partial)
+        assert partials, "no bucket carries images"
+        x_view = sum(partials)
+
+        pid = view["point_id"]
+        v_valid = view["view_valid"]
+        if self.view_pool == "group":
+            pooled, _ = GroupViewPool(
+                self.out_channels, num_groups=self.num_groups,
+                gated=self.gated, name="view_pool",
+            )(x_view, view["view_feats"], pid, v_valid, num_points + 1,
+              train=train)
+        else:
+            pooled = SegmentPool(self.view_pool, name="view_pool")(
+                x_view, pid, v_valid, num_points + 1, train=train
+            )
+        pooled = pooled[:num_points]
+        n_views = seg.segment_count(pid, num_points + 1, v_valid)[:num_points]
+        x_seen = n_views > 0
+        if x_3d is None:
+            return pooled, x_seen
+        return BimodalFusion(self.fusion_mode, name="fusion")(x_3d, pooled), x_seen
+
+    @staticmethod
+    def _gather(feature_maps, bucket, ref_size):
+        """Bilinear sample at pixel coords with a per-pixel image index."""
+        import jax
+
+        _, wf, hf, _ = feature_maps.shape
+        w, h = ref_size
+        img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0,
+                          feature_maps.shape[0] - 1)
+        sx, sy = wf / w, hf / h
+        xf = (jnp.asarray(bucket["pix_x"], jnp.float32) + 0.5) * sx - 0.5
+        yf = (jnp.asarray(bucket["pix_y"], jnp.float32) + 0.5) * sy - 0.5
+        x0 = jnp.floor(xf).astype(jnp.int32)
+        y0 = jnp.floor(yf).astype(jnp.int32)
+        tx = (xf - x0)[:, None]
+        ty = (yf - y0)[:, None]
+
+        def tap(xi, yi):
+            xc = jnp.clip(xi, 0, wf - 1)
+            yc = jnp.clip(yi, 0, hf - 1)
+            inside = ((xi >= 0) & (xi < wf) & (yi >= 0)
+                      & (yi < hf)).astype(feature_maps.dtype)
+            return feature_maps[img_id, xc, yc] * inside[:, None]
+
+        out = (tap(x0, y0) * (1 - tx) * (1 - ty)
+               + tap(x0 + 1, y0) * tx * (1 - ty)
+               + tap(x0, y0 + 1) * (1 - tx) * ty
+               + tap(x0 + 1, y0 + 1) * tx * ty)
+        return out * jnp.asarray(bucket["pix_valid"])[:, None].astype(out.dtype)
