@@ -61,6 +61,11 @@ class Bucket:
     pix_cap: int = 0
     image_cap: int = 0
     image_size: Optional[Sequence[int]] = None  # (W, H)
+    # crop-group families (CropImageGroups): when set, images are cropped to
+    # these ladder sizes and shipped per-bucket with split pixel tables
+    image_ladder: Optional[Sequence[Sequence[int]]] = None
+    ladder_image_caps: Optional[Sequence[int]] = None
+    ladder_pix_caps: Optional[Sequence[int]] = None
 
 
 def collate(
@@ -111,21 +116,64 @@ def collate(
         merged0 = concatenate_mappings(
             [s.mapping for s in samples], offsets, n_total
         ).with_num_points(cap0)
-        mappings = {}
-        m = merged0
-        level = 0
-        for lvl in sorted(branch_levels):
-            while level < lvl:
-                parent = graph.levels[level].parent
-                m = m.merge_points(parent, bucket.level_caps[level + 1])
-                level += 1
-            mappings[lvl] = m.pad(bucket.view_cap, bucket.pix_cap).to_device()
-        batch["mappings"] = mappings
+        imgs = np.concatenate([s.images for s in samples]).astype(np.float32)
 
-        imgs = np.concatenate([s.images for s in samples])
-        if len(imgs) > bucket.image_cap:
-            raise ValueError(f"{len(imgs)} images exceed cap {bucket.image_cap}")
-        batch["images"] = pad_to(imgs.astype(np.float32), bucket.image_cap)
+        if bucket.image_ladder is not None:
+            from .crop_groups import assign_crop_groups, split_mapping_by_bucket
+
+            ladder = [tuple(s_) for s_ in bucket.image_ladder]
+            mappings = {}
+            m = merged0
+            level = 0
+            for lvl in sorted(branch_levels):
+                while level < lvl:
+                    parent = graph.levels[level].parent
+                    m = m.merge_points(parent, bucket.level_caps[level + 1])
+                    level += 1
+                padded = m.pad(bucket.view_cap, bucket.pix_cap)
+                cloud = assign_crop_groups(
+                    {"mapping": padded, "images": imgs}, ladder
+                )
+                mm = split_mapping_by_bucket(cloud, ladder)
+                # pad per-bucket arrays to static caps
+                for bi, bk in enumerate(mm["buckets"]):
+                    icap = bucket.ladder_image_caps[bi]
+                    qcap = bucket.ladder_pix_caps[bi]
+                    if len(bk["images"]) > icap or len(bk["pix_view"]) > qcap:
+                        raise ValueError(
+                            f"crop bucket {bi} overflows caps "
+                            f"({len(bk['images'])}/{icap} imgs, "
+                            f"{len(bk['pix_view'])}/{qcap} pix)"
+                        )
+                    bk["images"] = pad_to(bk["images"], icap)
+                    vc = padded.view_capacity
+                    bk["pix_view"] = pad_to(bk["pix_view"], qcap, fill=vc)
+                    bk["pix_x"] = pad_to(bk["pix_x"], qcap)
+                    bk["pix_y"] = pad_to(bk["pix_y"], qcap)
+                    bk["pix_valid"] = pad_to(bk["pix_valid"], qcap, fill=False)
+                    bk["pix_image"] = pad_to(bk["pix_image"], qcap)
+                    bk.pop("size")
+                mm.pop("num_points")
+                mappings[lvl] = mm
+            batch["mappings"] = mappings
+        else:
+            mappings = {}
+            m = merged0
+            level = 0
+            for lvl in sorted(branch_levels):
+                while level < lvl:
+                    parent = graph.levels[level].parent
+                    m = m.merge_points(parent, bucket.level_caps[level + 1])
+                    level += 1
+                mappings[lvl] = m.pad(bucket.view_cap,
+                                      bucket.pix_cap).to_device()
+            batch["mappings"] = mappings
+
+            if len(imgs) > bucket.image_cap:
+                raise ValueError(
+                    f"{len(imgs)} images exceed cap {bucket.image_cap}"
+                )
+            batch["images"] = pad_to(imgs, bucket.image_cap)
 
     # host-side metadata (not shipped through jit boundaries that matter)
     batch["meta"] = {

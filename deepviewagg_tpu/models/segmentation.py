@@ -135,14 +135,32 @@ class MultimodalSeg(nn.Module):
         layers, planes, block = RES16_PRESETS[self.spec.backbone]
         n_down = len(layers) // 2
         branch_at = self.spec.branch_levels()
-        images = batch["images"]
-        ref_size = (images.shape[1], images.shape[2])
+        images = batch.get("images")   # absent on crop-ladder batches
+        ref_size = (images.shape[1], images.shape[2]) if images is not None \
+            else None
 
         x_seen_all = None
 
         def run_branch(level, x):
             spec: BranchSpec = branch_at[level]
             tower, c2 = make_tower(spec.tower, spec.tower_norm)
+            mm = batch["mappings"][level]
+            if "buckets" in mm:
+                # crop-group families (Bucket.image_ladder collate path)
+                from ..modules.multibucket import MultiBucketBranch
+
+                branch = MultiBucketBranch(
+                    tower=tower,
+                    out_channels=spec.out_channels,
+                    atomic_reduce=spec.atomic_reduce,
+                    view_pool=spec.view_pool,
+                    num_groups=spec.num_groups,
+                    gated=spec.gated,
+                    interpolate=spec.interpolate,
+                    fusion_mode=spec.fusion_mode,
+                    name=f"branch_l{level}",
+                )
+                return branch(x, mm, train=train)
             branch = UnimodalBranch(
                 tower=tower,
                 out_channels=spec.out_channels,
