@@ -8,3 +8,4 @@ from . import kpconv  # noqa: F401
 from . import randlanet  # noqa: F401
 from . import rsconv  # noqa: F401
 from . import pvcnn  # noqa: F401
+from . import pointcnn  # noqa: F401
