@@ -60,7 +60,7 @@ class Stem(nn.Module):
     @nn.compact
     def __call__(self, feats, graph, train: bool = True):
         lvl = graph["levels"][0]
-        return SparseConvNormRelu(self.out_channels)(
+        return SparseConvNormRelu(self.out_channels, submanifold=True)(
             feats, graph["conv0_nbr"], lvl["valid"], train=train
         )
 

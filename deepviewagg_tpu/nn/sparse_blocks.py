@@ -18,7 +18,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.sparse_conv import sparse_conv
+from ..ops.sparse_conv import sparse_conv, sparse_conv_submanifold
 from .norm import MaskedBatchNorm
 
 __all__ = ["SparseConv", "SparseConvNormRelu", "ResBlock", "BottleneckBlock"]
@@ -35,10 +35,16 @@ def _kernel_init(key, shape, dtype=jnp.float32):
 
 
 class SparseConv(nn.Module):
-    """Bare sparse convolution: weights ``[K, Cin, Cout]`` + optional bias."""
+    """Bare sparse convolution: weights ``[K, Cin, Cout]`` + optional bias.
+
+    ``submanifold=True`` (same in/out coords, centered odd kernel) enables
+    the gather-only custom VJP — backward runs the transposed kernel map as
+    another gather-GEMM instead of a scatter-add (PERF.md).
+    """
 
     out_channels: int
     use_bias: bool = False
+    submanifold: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -51,6 +57,9 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
+        if self.submanifold and feats.shape[0] == nbr.shape[1]:
+            out = sparse_conv_submanifold(feats, w, nbr, self.compute_dtype)
+            return out if b is None else out + b
         return sparse_conv(feats, w, nbr, bias=b, compute_dtype=self.compute_dtype)
 
 
@@ -60,10 +69,13 @@ class SparseConvNormRelu(nn.Module):
     out_channels: int
     relu: bool = True
     momentum: float = 0.9
+    submanifold: bool = False
 
     @nn.compact
     def __call__(self, feats, nbr, valid, train: bool = True):
-        x = SparseConv(self.out_channels)(feats, nbr)
+        x = SparseConv(self.out_channels, submanifold=self.submanifold)(
+            feats, nbr
+        )
         x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
         if self.relu:
             x = nn.relu(x)
@@ -83,11 +95,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, valid, train: bool = True):
-        x = SparseConvNormRelu(self.out_channels, momentum=self.momentum)(
+        x = SparseConvNormRelu(self.out_channels, momentum=self.momentum,
+                               submanifold=True)(
             feats, nbr, valid, train=train
         )
         x = SparseConvNormRelu(
-            self.out_channels, relu=False, momentum=self.momentum
+            self.out_channels, relu=False, momentum=self.momentum,
+            submanifold=True,
         )(x, nbr, valid, train=train)
         if feats.shape[-1] != self.out_channels:
             skip = nn.Dense(self.out_channels, use_bias=False)(feats)
@@ -111,7 +125,8 @@ class BottleneckBlock(nn.Module):
         x = nn.Dense(mid, use_bias=False)(feats)
         x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
         x = nn.relu(x)
-        x = SparseConvNormRelu(mid, momentum=self.momentum)(x, nbr, valid, train=train)
+        x = SparseConvNormRelu(mid, momentum=self.momentum,
+                               submanifold=True)(x, nbr, valid, train=train)
         x = nn.Dense(self.out_channels, use_bias=False)(x)
         x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
         if feats.shape[-1] != self.out_channels:

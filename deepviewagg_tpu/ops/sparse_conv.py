@@ -18,12 +18,14 @@ models/base_model.py:244).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sparse_conv", "sparse_gather", "sparse_global_pool", "add_dump_row"]
+__all__ = ["sparse_conv", "sparse_conv_submanifold", "sparse_gather",
+           "sparse_global_pool", "add_dump_row"]
 
 
 def add_dump_row(feats):
@@ -59,6 +61,67 @@ def sparse_conv(
     if bias is not None:
         out = out + bias
     return out
+
+
+def _conv_core(feats, weights, nbr, compute_dtype):
+    fp = add_dump_row(feats).astype(compute_dtype)
+    gathered = fp[nbr]                                # [K, cap_out, Cin]
+    return jax.lax.dot_general(
+        gathered,
+        weights.astype(compute_dtype),
+        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sparse_conv_submanifold(feats, weights, nbr, compute_dtype=jnp.bfloat16):
+    """Submanifold sparse conv (in-coords == out-coords, centered odd
+    kernel) with a gather-only backward.
+
+    The default VJP of the gather is a scatter-add — slower than a gather on
+    TPU.  For a symmetric kernel map the transpose IS the same table with
+    offsets negated, i.e. the K axis reversed (``kernel_offsets`` enumerates
+    a centered odd cube lexicographically, so reversal negates every
+    offset).  So dL/dfeats is just another gather-GEMM:
+
+        dfeats = conv(g, W^T reversed over K, nbr[::-1])[: cap_in]
+
+    and dL/dW re-gathers activations (same cost as the forward gather).
+    """
+    return _conv_core(feats, weights, nbr, compute_dtype)
+
+
+def _subm_fwd(feats, weights, nbr, compute_dtype):
+    return _conv_core(feats, weights, nbr, compute_dtype), (feats, weights, nbr)
+
+
+def _subm_bwd(compute_dtype, res, g):
+    feats, weights, nbr = res
+    # dfeats[i] = sum_k g[nbr[k, i]] @ W[K-1-k]^T: the neighbor at offset k
+    # of i contributes through the NEGATED offset's weights (offset-negation
+    # == reversing the lexicographic enumeration of a centered odd cube)
+    w_t = jnp.flip(jnp.swapaxes(weights, 1, 2), axis=0)    # [K, Cout, Cin]
+    gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    dfeats = jax.lax.dot_general(
+        gp[nbr].astype(compute_dtype),
+        w_t.astype(compute_dtype),
+        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[: feats.shape[0]].astype(feats.dtype)
+    # dW[k] = gathered_k^T @ g
+    fp = add_dump_row(feats).astype(compute_dtype)
+    gathered = fp[nbr]                                     # [K, cap, Cin]
+    dw = jax.lax.dot_general(
+        gathered,
+        g.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),        # [K, Cin, Cout]
+        preferred_element_type=jnp.float32,
+    ).astype(weights.dtype)
+    return dfeats, dw, None
+
+
+sparse_conv_submanifold.defvjp(_subm_fwd, _subm_bwd)
 
 
 def sparse_global_pool(feats, batch_idx, num_batches: int, valid=None, reduce="mean"):
