@@ -77,7 +77,8 @@ class DownStage(nn.Module):
         src = graph["levels"][level_in]
         dst = graph["levels"][level_in + 1]
         x = SparseConvNormRelu(feats.shape[-1])(
-            feats, src["down_nbr"], dst["valid"], train=train
+            feats, src["down_nbr"], dst["valid"], train=train,
+            nbr_t=src["up_nbr"],   # precomputed transpose: gather-only bwd
         )
         blk = _block_cls(self.block)
         for _ in range(self.num_blocks):
@@ -96,7 +97,8 @@ class UpStage(nn.Module):
     def __call__(self, feats, skip, graph, level_out: int, train: bool = True):
         dst = graph["levels"][level_out]
         x = SparseConvNormRelu(self.out_channels)(
-            feats, dst["up_nbr"], dst["valid"], train=train
+            feats, dst["up_nbr"], dst["valid"], train=train,
+            nbr_t=dst["down_nbr"],  # transpose of the up map = the down map
         )
         x = jnp.concatenate([x, skip], axis=-1)
         blk = _block_cls(self.block)

@@ -18,7 +18,9 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.sparse_conv import sparse_conv, sparse_conv_submanifold
+from ..ops.sparse_conv import (
+    sparse_conv, sparse_conv_pair, sparse_conv_submanifold,
+)
 from .norm import MaskedBatchNorm
 
 __all__ = ["SparseConv", "SparseConvNormRelu", "ResBlock", "BottleneckBlock"]
@@ -48,7 +50,7 @@ class SparseConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats, nbr):
+    def __call__(self, feats, nbr, nbr_t=None):
         k = nbr.shape[0]
         cin = feats.shape[-1]
         w = self.param("kernel", _kernel_init, (k, cin, self.out_channels))
@@ -59,8 +61,13 @@ class SparseConv(nn.Module):
         )
         if self.submanifold and feats.shape[0] == nbr.shape[1]:
             out = sparse_conv_submanifold(feats, w, nbr, self.compute_dtype)
-            return out if b is None else out + b
-        return sparse_conv(feats, w, nbr, bias=b, compute_dtype=self.compute_dtype)
+        elif nbr_t is not None:
+            # strided conv with a precomputed transpose map: gather-only bwd
+            out = sparse_conv_pair(feats, w, nbr, nbr_t, self.compute_dtype)
+        else:
+            return sparse_conv(feats, w, nbr, bias=b,
+                               compute_dtype=self.compute_dtype)
+        return out if b is None else out + b
 
 
 class SparseConvNormRelu(nn.Module):
@@ -72,9 +79,9 @@ class SparseConvNormRelu(nn.Module):
     submanifold: bool = False
 
     @nn.compact
-    def __call__(self, feats, nbr, valid, train: bool = True):
+    def __call__(self, feats, nbr, valid, train: bool = True, nbr_t=None):
         x = SparseConv(self.out_channels, submanifold=self.submanifold)(
-            feats, nbr
+            feats, nbr, nbr_t=nbr_t
         )
         x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
         if self.relu:

@@ -124,6 +124,44 @@ def _subm_bwd(compute_dtype, res, g):
 sparse_conv_submanifold.defvjp(_subm_fwd, _subm_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sparse_conv_pair(feats, weights, nbr, nbr_t, compute_dtype=jnp.bfloat16):
+    """Sparse conv with an explicitly provided transpose map (strided down /
+    up convs: each one's transpose is the other's table, both precomputed by
+    the graph builder).  Backward gathers with ``nbr_t`` per the SAME offset
+    index (``KernelMap.transpose`` inverts each offset's partial injection —
+    no K reversal, unlike the submanifold case)."""
+    return _conv_core(feats, weights, nbr, compute_dtype)
+
+
+def _pair_fwd(feats, weights, nbr, nbr_t, compute_dtype):
+    return (_conv_core(feats, weights, nbr, compute_dtype),
+            (feats, weights, nbr, nbr_t))
+
+
+def _pair_bwd(compute_dtype, res, g):
+    feats, weights, nbr, nbr_t = res
+    w_t = jnp.swapaxes(weights, 1, 2)                     # [K, Cout, Cin]
+    gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    dfeats = jax.lax.dot_general(
+        gp[nbr_t].astype(compute_dtype),
+        w_t.astype(compute_dtype),
+        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[: feats.shape[0]].astype(feats.dtype)
+    fp = add_dump_row(feats).astype(compute_dtype)
+    dw = jax.lax.dot_general(
+        fp[nbr],
+        g.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(weights.dtype)
+    return dfeats, dw, None, None
+
+
+sparse_conv_pair.defvjp(_pair_fwd, _pair_bwd)
+
+
 def sparse_global_pool(feats, batch_idx, num_batches: int, valid=None, reduce="mean"):
     """Per-sample global pooling over a sparse tensor (for encoder heads)."""
     from . import segment as _seg
