@@ -42,6 +42,8 @@ class DataCfg:
     pix_cap: int = 0
     image_cap: int = 0
     image_size: List[int] = dataclasses.field(default_factory=lambda: [128, 64])
+    # crop-group families: min ladder size enables Bucket.image_ladder
+    crop_ladder_min: int = 0
     kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 

@@ -117,6 +117,9 @@ class SphereDataset:
     samples_per_epoch: int = 2000
     seed: int = 0
     select_shape: str = "sphere"             # 'sphere' | 'cylinder'
+    center_roll: bool = False                # equirect roll centering
+    flip_p: float = 0.0                      # horizontal flip probability
+    jitter_mapping: float = 0.0              # view-feature jitter sigma
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -176,10 +179,22 @@ class SphereDataset:
             sub = transforms2d.pick_images_by_area(
                 sub, min_points=self.min_points_per_image
             )
+            if self.center_roll and sub.get("images") is not None:
+                # panoramas: circular-roll so mapped pixels center (enables
+                # tight crop-ladder buckets, §A.7)
+                sub = transforms2d.center_roll(sub)
             if self.train:
                 sub = transforms2d.pick_images_by_credit(
                     sub, n_slots=self.image_slots, rng=self._rng
                 )
+                if self.flip_p > 0:
+                    sub = transforms2d.random_horizontal_flip(
+                        sub, self._rng, p=self.flip_p
+                    )
+                if self.jitter_mapping > 0:
+                    sub = transforms2d.jitter_mapping_features(
+                        sub, sigma=self.jitter_mapping, rng=self._rng
+                    )
             elif sub["mapping"].num_images > self.image_slots:
                 counts = np.zeros(sub["mapping"].num_images, np.int64)
                 np.add.at(counts, sub["mapping"].image_id[sub["mapping"].view_valid], 1)

@@ -213,5 +213,8 @@ def make_s3dis_dataset(
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
         train=train, augment=default_augment() if train else None,
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
+        center_roll=True,               # equirectangular panoramas (§A.7)
+        flip_p=0.5 if train else 0.0,
+        jitter_mapping=0.02 if train else 0.0,
     )
     return ds

@@ -49,6 +49,9 @@ class TrainerConfig:
     profile_epochs: tuple = ()               # epochs to capture jax traces
     class_weights: Optional[tuple] = None    # per-class CE weights
     visualize_every: int = 0                 # epochs between sample dumps
+    # BN momentum schedule {epoch: momentum} — the reference's bn_scheduler
+    # (core/schedulers/bn_schedulers.py); each change costs one retrace
+    bn_momentum_milestones: Optional[Dict[int, float]] = None
     log_fn: Callable[[str], None] = print
 
 
@@ -92,19 +95,19 @@ class Trainer:
         self.state = TrainState.create(variables, tx)
 
         axis = "data" if cfg.data_parallel else None
-        train_step = make_train_step(
+        self._raw_train_step = make_train_step(
             model, cfg.lovasz_weight, axis=axis,
             class_weights=(None if cfg.class_weights is None
                            else list(cfg.class_weights)),
         )
         eval_step = make_eval_step(model)
+        self._bn_momentum = None
         if cfg.data_parallel:
             self.mesh = make_mesh()
             self.state = replicate(self.state, self.mesh)
-            self._train_step = data_parallel_step(train_step, self.mesh)
         else:
             self.mesh = None
-            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = self._build_train_step(None)
         self._eval_step = jax.jit(eval_step)
 
         self.checkpoint = (
@@ -116,6 +119,33 @@ class Trainer:
         self.epoch = 0
 
     # ------------------------------------------------------------------
+    def _build_train_step(self, bn_mom: Optional[float]):
+        """(Re)build the jitted step; ``bn_mom`` overrides every
+        MaskedBatchNorm momentum at trace time (bn scheduler)."""
+        from ..nn.norm import bn_momentum as _bn_ctx
+
+        raw = self._raw_train_step
+
+        def wrapped(state, batch, rng):
+            with _bn_ctx(bn_mom):
+                return raw(state, batch, rng)
+
+        if self.cfg.data_parallel:
+            return data_parallel_step(wrapped, self.mesh)
+        return jax.jit(wrapped, donate_argnums=(0,))
+
+    def _maybe_update_bn_momentum(self):
+        sched = self.cfg.bn_momentum_milestones
+        if not sched:
+            return
+        current = None
+        for ep in sorted(sched):
+            if self.epoch >= ep:
+                current = sched[ep]
+        if current != self._bn_momentum:
+            self._bn_momentum = current
+            self._train_step = self._build_train_step(current)
+
     @staticmethod
     def _strip_meta(batch):
         """meta holds host-only objects (cloud keys, ragged origin ids) that
@@ -209,6 +239,7 @@ class Trainer:
         all_metrics: Dict[str, float] = {}
         for _ in range(epochs or self.cfg.epochs):
             self.epoch += 1
+            self._maybe_update_bn_momentum()
             if self.epoch in self.cfg.profile_epochs and self.cfg.run_dir:
                 # jax profiler trace (the reference's debugging.profiling
                 # hook, trainer.py:281-290, upgraded to the XLA profiler)

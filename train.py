@@ -101,6 +101,19 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
     def cap(x, m=256):
         return int(-(-int(x * margin) // m) * m)
 
+    ladder = None
+    ladder_icaps = None
+    ladder_qcaps = None
+    if cfg.data.crop_ladder_min > 0 and views:
+        from deepviewagg_tpu.data.crop_groups import crop_ladder
+
+        ladder = crop_ladder(tuple(cfg.data.image_size),
+                             min_size=cfg.data.crop_ladder_min)
+        n_imgs = b * cfg.data.image_slots
+        # conservative: any bucket may hold every image / pixel
+        ladder_icaps = [n_imgs] * len(ladder)
+        ladder_qcaps = [cap(max(pix) * b)] * len(ladder)
+
     return Bucket(
         level_caps=[cap(c * b) for c in counts_levels],
         num_batches=b,
@@ -108,6 +121,9 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
         pix_cap=cap(max(pix) * b) if pix else 0,
         image_cap=b * cfg.data.image_slots,
         image_size=tuple(cfg.data.image_size),
+        image_ladder=ladder,
+        ladder_image_caps=ladder_icaps,
+        ladder_pix_caps=ladder_qcaps,
     )
 
 
