@@ -31,6 +31,7 @@ class SyntheticScene:
     rgb: np.ndarray       # [N, 3] float32 in [0, 1]
     labels: np.ndarray    # [N] int32
     cameras: List[Camera]
+    boxes: Optional[np.ndarray] = None   # [B, 6] center xyz + size whd
 
 
 def _sample_plane(rng, origin, u, v, density, color, jitter=0.01):
@@ -89,6 +90,7 @@ def make_scene(
     ]:
         w, wc = _sample_plane(rng, origin, u, v, density, col)
         parts.append((w, wc, 2))
+    boxes = []
     for _ in range(n_boxes):
         size = rng.uniform(0.4, 1.2, 3)
         center = np.array([
@@ -98,6 +100,7 @@ def make_scene(
         ])
         bp, bc = _box(rng, center, size, density, rng.uniform(0.1, 0.9, 3))
         parts.append((bp, bc, 3))
+        boxes.append(np.concatenate([center, size]))
 
     pos = np.concatenate([p for p, _, _ in parts])
     rgb = np.concatenate([c for _, c, _ in parts])
@@ -143,7 +146,11 @@ def make_scene(
             ))
         else:
             raise ValueError(camera_model)
-    return SyntheticScene(pos=pos, rgb=rgb, labels=labels, cameras=cams)
+    return SyntheticScene(
+        pos=pos, rgb=rgb, labels=labels, cameras=cams,
+        boxes=np.asarray(boxes, np.float32) if boxes
+        else np.zeros((0, 6), np.float32),
+    )
 
 
 def render_views(scene: SyntheticScene, mapping, image_index: Optional[int] = None):
