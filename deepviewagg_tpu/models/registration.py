@@ -34,7 +34,9 @@ class RegistrationNet(nn.Module):
             batch["feats"], batch["graph"], train=train
         )
         d = nn.Dense(self.descriptor_dim, name="desc")(x)
-        return d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
+        # rsqrt(sum + eps): unlike norm(), differentiable at the all-zero
+        # rows padding produces (0 * NaN poisons grads otherwise)
+        return d * jax.lax.rsqrt(jnp.sum(d * d, axis=1, keepdims=True) + 1e-12)
 
 
 def mutual_nearest(desc_a, desc_b, valid_a=None, valid_b=None):
