@@ -122,7 +122,15 @@ def collate(
             from .crop_groups import assign_crop_groups, split_mapping_by_bucket
 
             ladder = [tuple(s_) for s_ in bucket.image_ladder]
+            # bucket assignment + image crops are level-invariant (pixel
+            # coords never change across stride merges) — build them ONCE;
+            # per level only the view/pixel tables are recomputed
+            padded0 = merged0.pad(bucket.view_cap, bucket.pix_cap)
+            cloud0 = assign_crop_groups(
+                {"mapping": padded0, "images": imgs}, ladder
+            )
             mappings = {}
+            bucket_images = None
             m = merged0
             level = 0
             for lvl in sorted(branch_levels):
@@ -131,31 +139,40 @@ def collate(
                     m = m.merge_points(parent, bucket.level_caps[level + 1])
                     level += 1
                 padded = m.pad(bucket.view_cap, bucket.pix_cap)
-                cloud = assign_crop_groups(
-                    {"mapping": padded, "images": imgs}, ladder
+                mm = split_mapping_by_bucket(
+                    {"mapping": padded, "images": imgs,
+                     "image_bucket": cloud0["image_bucket"],
+                     "crop_origin": cloud0["crop_origin"]},
+                    ladder, include_images=bucket_images is None,
                 )
-                mm = split_mapping_by_bucket(cloud, ladder)
-                # pad per-bucket arrays to static caps
+                if bucket_images is None:
+                    bucket_images = [
+                        pad_to(bk.pop("images"),
+                               bucket.ladder_image_caps[bi])
+                        for bi, bk in enumerate(mm["buckets"])
+                    ]
+                # pad per-bucket pixel tables to static caps
                 for bi, bk in enumerate(mm["buckets"]):
                     icap = bucket.ladder_image_caps[bi]
                     qcap = bucket.ladder_pix_caps[bi]
-                    if len(bk["images"]) > icap or len(bk["pix_view"]) > qcap:
+                    if (len(bucket_images[bi]) > icap
+                            or len(bk["pix_view"]) > qcap):
                         raise ValueError(
                             f"crop bucket {bi} overflows caps "
-                            f"({len(bk['images'])}/{icap} imgs, "
+                            f"({len(bucket_images[bi])}/{icap} imgs, "
                             f"{len(bk['pix_view'])}/{qcap} pix)"
                         )
-                    bk["images"] = pad_to(bk["images"], icap)
                     vc = padded.view_capacity
                     bk["pix_view"] = pad_to(bk["pix_view"], qcap, fill=vc)
                     bk["pix_x"] = pad_to(bk["pix_x"], qcap)
                     bk["pix_y"] = pad_to(bk["pix_y"], qcap)
                     bk["pix_valid"] = pad_to(bk["pix_valid"], qcap, fill=False)
                     bk["pix_image"] = pad_to(bk["pix_image"], qcap)
-                    bk.pop("size")
+                    bk.pop("size", None)
                 mm.pop("num_points")
                 mappings[lvl] = mm
             batch["mappings"] = mappings
+            batch["bucket_images"] = bucket_images  # shared across levels
         else:
             mappings = {}
             m = merged0

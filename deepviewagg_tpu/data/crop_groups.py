@@ -88,6 +88,7 @@ def assign_crop_groups(
 
 def split_mapping_by_bucket(
     cloud: Dict, ladder: Sequence[Tuple[int, int]],
+    include_images: bool = True,
 ) -> Dict:
     """Produce per-bucket image tensors + pixel tables (host arrays).
 
@@ -112,11 +113,13 @@ def split_mapping_by_bucket(
         img_ids = np.nonzero(bucket_of == bi)[0]
         local = np.full(m.num_images, -1, np.int64)
         local[img_ids] = np.arange(len(img_ids))
-        crops = np.zeros((len(img_ids), cw, ch, images.shape[3]),
-                         images.dtype)
-        for li, gi in enumerate(img_ids):
-            x0, y0 = origins[gi]
-            crops[li] = images[gi, x0:x0 + cw, y0:y0 + ch]
+        crops = None
+        if include_images:
+            crops = np.zeros((len(img_ids), cw, ch, images.shape[3]),
+                             images.dtype)
+            for li, gi in enumerate(img_ids):
+                x0, y0 = origins[gi]
+                crops[li] = images[gi, x0:x0 + cw, y0:y0 + ch]
         # pixels of views whose image lives in this bucket
         sel = np.isin(pix_img, img_ids) & m.pix_valid
         gx = m.pix_x[sel].astype(np.int64)
@@ -124,8 +127,7 @@ def split_mapping_by_bucket(
         gi = pix_img[sel]
         nx = np.clip(gx - origins[gi, 0], 0, cw - 1)
         ny = np.clip(gy - origins[gi, 1], 0, ch - 1)
-        buckets.append({
-            "images": crops,
+        bucket = {
             "size": (cw, ch),
             "pix_view": m.pix_view[sel].astype(np.int32),
             "pix_x": nx.astype(np.int32),
@@ -133,7 +135,10 @@ def split_mapping_by_bucket(
             "pix_valid": np.ones(sel.sum(), bool),
             # per-pixel local image index inside this bucket's tensor
             "pix_image": local[gi].astype(np.int32),
-        })
+        }
+        if crops is not None:
+            bucket["images"] = crops
+        buckets.append(bucket)
     return {
         "view": {
             "point_id": m.point_id, "image_id": m.image_id,

@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.norm import MaskedBatchNorm
-from ..nn.pointnet2 import PointNet2Seg, _PointMLP
+from ..nn.pointnet2 import _PointMLP
 
 __all__ = ["VoteNetDet", "votenet_loss"]
 
@@ -117,10 +116,15 @@ def votenet_loss(out: Dict, gt_boxes, gt_classes=None,
         j = jnp.argmin(d, axis=1)
         return j, jnp.min(d, axis=1)
 
-    # vote regression: seeds inside a box vote to its center
-    j, d = nearest(out["vote_pos"])
-    vote_mask = out["seed_valid"] & (d < big / 2)
-    vote_l1 = jnp.abs(out["vote_pos"] - centers[j]).sum(axis=1)
+    # vote regression: only seeds INSIDE a GT box vote to its center
+    # (VoteNet's on-object seed selection)
+    j_seed, _ = nearest(out["seed_pos"])
+    seed_rel = jnp.abs(out["seed_pos"] - centers[j_seed])
+    inside = jnp.all(
+        seed_rel <= gt_boxes[j_seed, 3:] / 2 + 0.1, axis=1
+    ) & gt_ok[j_seed]
+    vote_mask = out["seed_valid"] & inside
+    vote_l1 = jnp.abs(out["vote_pos"] - centers[j_seed]).sum(axis=1)
     vote_loss = jnp.sum(jnp.where(vote_mask, vote_l1, 0.0)) / jnp.maximum(
         vote_mask.sum(), 1
     )

@@ -37,18 +37,28 @@ class PanopticSeg(nn.Module):
         return {"logits": logits, "offsets": offsets}
 
 
-def instance_loss(offsets, pos, instance_ids, valid=None):
+def instance_loss(offsets, pos, instance_ids, num_instances: Optional[int] = None,
+                  valid=None):
     """L1 between predicted offsets and (instance centroid - point), the
-    PointGroup offset loss.  ``instance_ids`` int32, -1 = stuff/ignore."""
+    PointGroup offset loss.  ``instance_ids`` int32, -1 = stuff/ignore.
+
+    ``num_instances`` must be a static int when calling under jit (it sizes
+    the centroid table); with host numpy ids it defaults to max(ids)+1.
+    """
     import jax
 
     ids = jnp.asarray(instance_ids)
     mask = ids >= 0
     if valid is not None:
         mask = mask & valid
-    n_inst = int(jnp.max(jnp.asarray(instance_ids)).item()) + 1 \
-        if isinstance(instance_ids, np.ndarray) else None
-    if n_inst is None or n_inst <= 0:
+    if num_instances is None:
+        if not isinstance(instance_ids, np.ndarray):
+            raise ValueError(
+                "pass static num_instances when instance_ids is traced"
+            )
+        num_instances = int(instance_ids.max()) + 1 if len(instance_ids) else 0
+    n_inst = num_instances
+    if n_inst <= 0:
         return jnp.float32(0.0)
     safe = jnp.maximum(ids, 0)
     w = mask.astype(jnp.float32)

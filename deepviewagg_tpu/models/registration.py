@@ -75,9 +75,11 @@ def kabsch(src, dst, weights=None):
 
 
 def hardest_contrastive(desc_a, desc_b, pos_pairs, margin_pos=0.1,
-                        margin_neg=1.4, num_neg: int = 256):
+                        margin_neg=1.4, num_neg: int = 256, valid_b=None):
     """FCGF-style hardest-contrastive loss over known positive pairs
-    ``pos_pairs int32 [P, 2]`` (same physical point in both fragments)."""
+    ``pos_pairs int32 [P, 2]`` (same physical point in both fragments).
+    Pass ``valid_b`` so cap-padding rows (all-zero descriptors, distance
+    ~1 from any unit vector) never become the 'hardest' negatives."""
     def safe_norm(x, axis):
         # eps inside the sqrt: d/dx ||0|| is NaN otherwise (identical pairs)
         return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
@@ -88,6 +90,9 @@ def hardest_contrastive(desc_a, desc_b, pos_pairs, margin_pos=0.1,
     # hardest negatives among a subsample
     sub = desc_b[:num_neg]
     d_an = safe_norm(da[:, None] - sub[None], -1)
+    if valid_b is not None:
+        ok = jnp.asarray(valid_b)[:num_neg]
+        d_an = jnp.where(ok[None, :], d_an, 1e9)
     # mask out the true positive column when inside the subsample
     col = pos_pairs[:, 1]
     in_sub = col < num_neg

@@ -160,7 +160,8 @@ class MultimodalSeg(nn.Module):
                     fusion_mode=spec.fusion_mode,
                     name=f"branch_l{level}",
                 )
-                return branch(x, mm, train=train)
+                return branch(x, mm, train=train,
+                              bucket_images=batch.get("bucket_images"))
             branch = UnimodalBranch(
                 tower=tower,
                 out_channels=spec.out_channels,

@@ -46,7 +46,10 @@ class MultiBucketBranch(nn.Module):
 
     @nn.compact
     def __call__(self, x_3d, mm: Dict, train: bool = True,
-                 num_points: Optional[int] = None):
+                 num_points: Optional[int] = None, bucket_images=None):
+        """``bucket_images``: per-bucket image tensors shared across fusion
+        levels (batch['bucket_images']); falls back to images embedded in
+        the bucket dicts."""
         view = mm["view"]
         vc = view["view_valid"].shape[0]
         if x_3d is not None:
@@ -55,7 +58,8 @@ class MultiBucketBranch(nn.Module):
         tower = self.tower() if self.tower is not None else None
         partials = []
         for b, bucket in enumerate(mm["buckets"]):
-            images = bucket["images"]
+            images = (bucket["images"] if "images" in bucket
+                      else bucket_images[b])
             if images.shape[0] == 0:
                 continue
             feats_2d = tower(images, train) if tower is not None else images

@@ -31,13 +31,17 @@ def test_collate_with_image_ladder():
         ladder_image_caps=[4, 4],
         ladder_pix_caps=[cap(pix), cap(pix)],
     )
-    batch = collate(samples, bucket, branch_levels=[0])
+    batch = collate(samples, bucket, branch_levels=[0, 1])
     mm = batch["mappings"][0]
     assert "buckets" in mm and len(mm["buckets"]) == 2
     total_pix_valid = sum(int(b["pix_valid"].sum()) for b in mm["buckets"])
     assert total_pix_valid == pix
-    for bk, icap in zip(mm["buckets"], bucket.ladder_image_caps):
-        assert bk["images"].shape[0] == icap
+    # image crops are shared across fusion levels (built once)
+    assert len(batch["bucket_images"]) == 2
+    for img, icap in zip(batch["bucket_images"], bucket.ladder_image_caps):
+        assert img.shape[0] == icap
+    assert all("images" not in b for b in mm["buckets"])
+    assert all("images" not in b for b in batch["mappings"][1]["buckets"])
 
     spec = flagship_spec(backbone="Res16UNetTest", tower="resnet18_l1",
                          num_groups=2)
