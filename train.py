@@ -73,6 +73,16 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
             image_size=tuple(cfg.data.image_size),
         )
     sizes, views, pix = [], [], []
+    bucket_pix = None      # per-ladder-bucket pixel/image maxima
+    bucket_imgs = None
+    ladder = None
+    if cfg.data.crop_ladder_min > 0:
+        from deepviewagg_tpu.data.crop_groups import crop_ladder
+
+        ladder = crop_ladder(tuple(cfg.data.image_size),
+                             min_size=cfg.data.crop_ladder_min)
+        bucket_pix = [0] * len(ladder)
+        bucket_imgs = [0] * len(ladder)
     counts_levels = None
     rng = np.random.default_rng(0)
     for _ in range(probe):
@@ -83,6 +93,22 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
         if s.mapping is not None:
             views.append(s.mapping.num_views)
             pix.append(s.mapping.num_pixels)
+            if ladder is not None and s.images is not None:
+                from deepviewagg_tpu.data.crop_groups import (
+                    assign_crop_groups, split_mapping_by_bucket,
+                )
+
+                ass = assign_crop_groups(
+                    {"mapping": s.mapping, "images": s.images}, ladder
+                )
+                mmp = split_mapping_by_bucket(ass, ladder,
+                                              include_images=False)
+                for bi, bk in enumerate(mmp["buckets"]):
+                    bucket_pix[bi] = max(bucket_pix[bi], len(bk["pix_view"]))
+                    bucket_imgs[bi] = max(
+                        bucket_imgs[bi],
+                        int((ass["image_bucket"] == bi).sum()),
+                    )
         coords = np.concatenate(
             [np.zeros((len(s.coords), 1), np.int32), s.coords], axis=1
         )
@@ -101,18 +127,17 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
     def cap(x, m=256):
         return int(-(-int(x * margin) // m) * m)
 
-    ladder = None
     ladder_icaps = None
     ladder_qcaps = None
-    if cfg.data.crop_ladder_min > 0 and views:
-        from deepviewagg_tpu.data.crop_groups import crop_ladder
-
-        ladder = crop_ladder(tuple(cfg.data.image_size),
-                             min_size=cfg.data.crop_ladder_min)
-        n_imgs = b * cfg.data.image_slots
-        # conservative: any bucket may hold every image / pixel
-        ladder_icaps = [n_imgs] * len(ladder)
-        ladder_qcaps = [cap(max(pix) * b)] * len(ladder)
+    if ladder is not None and views:
+        # measured per-bucket maxima from the probe; per-bucket distribution
+        # varies a lot between samples, so use a generous margin (the
+        # BatchLoader only enforces the GLOBAL pixel cap when grouping)
+        ladder_icaps = [
+            max(1, min(int(m * b) + 2, b * cfg.data.image_slots))
+            for m in bucket_imgs
+        ]
+        ladder_qcaps = [max(cap(m * b * 2.5), 512) for m in bucket_pix]
 
     return Bucket(
         level_caps=[cap(c * b) for c in counts_levels],
