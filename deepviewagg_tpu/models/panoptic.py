@@ -17,7 +17,8 @@ from flax import linen as nn
 
 from ..nn.res16unet import Res16UNet
 
-__all__ = ["PanopticSeg", "instance_loss", "cluster_instances"]
+__all__ = ["PanopticSeg", "instance_loss", "cluster_instances",
+           "panoptic_quality"]
 
 
 class PanopticSeg(nn.Module):
@@ -69,6 +70,57 @@ def instance_loss(offsets, pos, instance_ids, num_instances: Optional[int] = Non
     target = centroids[safe] - pos
     l1 = jnp.abs(offsets - target).sum(axis=1)
     return jnp.sum(jnp.where(mask, l1, 0.0)) / jnp.maximum(mask.sum(), 1)
+
+
+def panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst, num_classes: int,
+                     thing_classes, iou_thresh: float = 0.5) -> Dict:
+    """Panoptic Quality (Kirillov et al.): PQ = SQ x RQ per class, averaged.
+
+    Things match instance-to-instance at point-IoU >= ``iou_thresh``; stuff
+    classes match as single segments.  Host-side numpy evaluation.
+    """
+    pred_sem = np.asarray(pred_sem)
+    gt_sem = np.asarray(gt_sem)
+    pred_inst = np.asarray(pred_inst)
+    gt_inst = np.asarray(gt_inst)
+    pqs = []
+    per_class = {}
+    for c in range(num_classes):
+        if c in thing_classes:
+            p_ids = [i for i in np.unique(pred_inst[(pred_sem == c)]) if i >= 0]
+            g_ids = [i for i in np.unique(gt_inst[(gt_sem == c)]) if i >= 0]
+            p_masks = [(pred_inst == i) & (pred_sem == c) for i in p_ids]
+            g_masks = [(gt_inst == i) & (gt_sem == c) for i in g_ids]
+        else:
+            p_masks = [pred_sem == c] if (pred_sem == c).any() else []
+            g_masks = [gt_sem == c] if (gt_sem == c).any() else []
+        if not g_masks and not p_masks:
+            continue
+        matched_p = set()
+        tp, iou_sum = 0, 0.0
+        for gm in g_masks:
+            best_iou, best_j = 0.0, -1
+            for j, pm in enumerate(p_masks):
+                if j in matched_p:
+                    continue
+                inter = np.logical_and(gm, pm).sum()
+                union = np.logical_or(gm, pm).sum()
+                iou = inter / union if union else 0.0
+                if iou > best_iou:
+                    best_iou, best_j = iou, j
+            if best_iou >= iou_thresh:
+                tp += 1
+                iou_sum += best_iou
+                matched_p.add(best_j)
+        fn = len(g_masks) - tp
+        fp = len(p_masks) - tp
+        denom = tp + 0.5 * fp + 0.5 * fn
+        pq = iou_sum / denom if denom else 0.0
+        per_class[f"PQ_{c}"] = float(pq)
+        pqs.append(pq)
+    out = {"PQ": float(np.mean(pqs)) if pqs else 0.0}
+    out.update(per_class)
+    return out
 
 
 def cluster_instances(pos, offsets, sem_preds, thing_classes,

@@ -53,3 +53,19 @@ def test_panoptic_forward(rng):
     assert out["logits"].shape[-1] == 4
     assert out["offsets"].shape[-1] == 3
     assert np.isfinite(np.asarray(out["offsets"])).all()
+
+
+def test_panoptic_quality_golden():
+    from deepviewagg_tpu.models.panoptic import panoptic_quality
+
+    sem = np.array([3] * 10 + [3] * 10 + [2] * 10)
+    inst = np.array([0] * 10 + [1] * 10 + [-1] * 10)
+    perfect = panoptic_quality(sem, inst, sem, inst, num_classes=4,
+                               thing_classes=[3])
+    assert perfect["PQ"] > 0.99
+    # merge the two instances into one prediction: one TP (iou .5 fails) ->
+    # actually iou of merged vs each gt = 10/20 = 0.5 >= thresh for first
+    merged = np.array([0] * 20 + [-1] * 10)
+    m = panoptic_quality(sem, merged, sem, inst, num_classes=4,
+                         thing_classes=[3])
+    assert m["PQ"] < perfect["PQ"]
