@@ -24,6 +24,11 @@ class ModelCfg:
     name: str = "Res16UNet34-L4-early-ade20k-interpolate"
     in_channels: int = 4
     overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # path to a torch ResNet18 checkpoint (ADE20K/Cityscapes/ImageNet) to
+    # overlay on every image branch at init (utils/pretrained.py); implies
+    # tower_norm='batch' on the branches
+    tower_weights: Optional[str] = None
+    tower_frozen: bool = False        # ref modalities/image.py:737 'frozen'
 
 
 @dataclasses.dataclass

@@ -125,6 +125,8 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
             drop_modality=b.get("drop_modality", 0.0),
             fusion_mode=b.get("fusion_mode", "residual"),
             remat_tower=b.get("remat_tower", True),
+            tower_norm=b.get("tower_norm", "group"),
+            frozen=b.get("frozen", False),
         ))
         for b in entry.get("branches", [])
     )

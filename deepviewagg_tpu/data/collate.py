@@ -146,20 +146,28 @@ def collate(
                     ladder, include_images=bucket_images is None,
                 )
                 if bucket_images is None:
-                    bucket_images = [
-                        pad_to(bk.pop("images"),
-                               bucket.ladder_image_caps[bi])
-                        for bi, bk in enumerate(mm["buckets"])
-                    ]
+                    bucket_images = []
+                    for bi, bk in enumerate(mm["buckets"]):
+                        raw = bk.pop("images")
+                        icap = bucket.ladder_image_caps[bi]
+                        # check BEFORE pad_to — it silently truncates, and a
+                        # truncated tensor would make pix_image rows >= icap
+                        # silently gather the wrong image downstream
+                        if len(raw) > icap:
+                            raise ValueError(
+                                f"crop bucket {bi} overflows image cap "
+                                f"({len(raw)}/{icap} imgs)"
+                            )
+                        bucket_images.append(pad_to(raw, icap))
                 # pad per-bucket pixel tables to static caps
                 for bi, bk in enumerate(mm["buckets"]):
                     icap = bucket.ladder_image_caps[bi]
                     qcap = bucket.ladder_pix_caps[bi]
-                    if (len(bucket_images[bi]) > icap
-                            or len(bk["pix_view"]) > qcap):
+                    n_img = int(bk["pix_image"].max(initial=-1)) + 1
+                    if n_img > icap or len(bk["pix_view"]) > qcap:
                         raise ValueError(
                             f"crop bucket {bi} overflows caps "
-                            f"({len(bucket_images[bi])}/{icap} imgs, "
+                            f"({n_img}/{icap} imgs, "
                             f"{len(bk['pix_view'])}/{qcap} pix)"
                         )
                     vc = padded.view_capacity

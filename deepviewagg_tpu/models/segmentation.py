@@ -55,6 +55,9 @@ class BranchSpec:
     fusion_mode: str = "residual"
     remat_tower: bool = True
     tower_norm: str = "group"
+    # frozen pretrained tower (ref modalities/image.py:737): stop_gradient +
+    # frozen BN stats in forward; the optimizer also masks the tower subtree
+    frozen: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +161,7 @@ class MultimodalSeg(nn.Module):
                     gated=spec.gated,
                     interpolate=spec.interpolate,
                     fusion_mode=spec.fusion_mode,
+                    frozen=spec.frozen,
                     name=f"branch_l{level}",
                 )
                 return branch(x, mm, train=train,
@@ -174,6 +178,7 @@ class MultimodalSeg(nn.Module):
                 drop_modality=spec.drop_modality,
                 fusion_mode=spec.fusion_mode,
                 remat_tower=spec.remat_tower,
+                frozen=spec.frozen,
                 name=f"branch_l{level}",
             )
             x, seen, _ = branch(
@@ -234,7 +239,7 @@ class No3DSeg(nn.Module):
             atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
             num_groups=bspec.num_groups, gated=bspec.gated,
             interpolate=bspec.interpolate, fusion_mode="modality",
-            keep_last_view=True, name="branch",
+            keep_last_view=True, frozen=bspec.frozen, name="branch",
         )
         pooled, x_seen, extras = branch(
             None, images, batch["mappings"][level], ref_size, train=train,
@@ -272,7 +277,7 @@ class LateFusionSeg(nn.Module):
             atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
             num_groups=bspec.num_groups, gated=bspec.gated,
             interpolate=bspec.interpolate, fusion_mode="modality",
-            remat_tower=bspec.remat_tower, name="branch",
+            remat_tower=bspec.remat_tower, frozen=bspec.frozen, name="branch",
         )
         x2d, x_seen, _ = branch(
             None, images, batch["mappings"][0],

@@ -78,6 +78,9 @@ class UnimodalBranch(nn.Module):
     fusion_mode: str = "residual"
     remat_tower: bool = False
     keep_last_view: bool = False
+    # frozen pretrained tower (ref modalities/image.py:737 'frozen' option):
+    # run with frozen BN stats and stop_gradient so no grads flow to it
+    frozen: bool = False
 
     @nn.compact
     def __call__(
@@ -97,14 +100,17 @@ class UnimodalBranch(nn.Module):
         # --- 2D tower ---------------------------------------------------
         if self.tower is not None:
             tower = self.tower()
-            if self.remat_tower:
+            t_train = train and not self.frozen
+            if self.remat_tower and not self.frozen:
                 # lifted remat over a function taking the module first —
                 # replaces the reference's 'c' checkpoint flag (modules.py:283)
-                feats_2d = nn.remat(lambda mdl, im: mdl(im, train))(
+                feats_2d = nn.remat(lambda mdl, im: mdl(im, t_train))(
                     tower, images
                 )
             else:
-                feats_2d = tower(images, train)
+                feats_2d = tower(images, t_train)
+            if self.frozen:
+                feats_2d = jax.lax.stop_gradient(feats_2d)
         else:
             feats_2d = images
 

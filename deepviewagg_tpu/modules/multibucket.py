@@ -43,6 +43,7 @@ class MultiBucketBranch(nn.Module):
     gated: bool = True
     interpolate: bool = True
     fusion_mode: str = "residual"
+    frozen: bool = False          # frozen pretrained tower (see branch.py)
 
     @nn.compact
     def __call__(self, x_3d, mm: Dict, train: bool = True,
@@ -62,7 +63,14 @@ class MultiBucketBranch(nn.Module):
                       else bucket_images[b])
             if images.shape[0] == 0:
                 continue
-            feats_2d = tower(images, train) if tower is not None else images
+            if tower is not None:
+                feats_2d = tower(images, train and not self.frozen)
+                if self.frozen:
+                    import jax
+
+                    feats_2d = jax.lax.stop_gradient(feats_2d)
+            else:
+                feats_2d = images
             ref_size = (images.shape[1], images.shape[2])
             pix_feats = self._gather(feats_2d, bucket, ref_size)
             partial = seg.segment_reduce(

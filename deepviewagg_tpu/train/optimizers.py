@@ -58,10 +58,17 @@ def make_optimizer(
     weight_decay: float = 1e-4,
     grad_clip: Optional[float] = None,
     lr_scales: Optional[Dict[str, float]] = None,
+    freeze_paths: Optional[Sequence[Sequence[str]]] = None,
 ):
     """``lr_scales`` maps top-level param-tree keys to LR multipliers — the
     discriminative-LR groups the reference builds from config
-    (base_model.py:291-343, e.g. a lower LR on a pretrained 2D tower)."""
+    (base_model.py:291-343, e.g. a lower LR on a pretrained 2D tower).
+
+    ``freeze_paths``: param-tree path prefixes (e.g. ``[("branch_l0",
+    "tower")]``) whose subtrees receive NO updates at all — not even weight
+    decay, which would otherwise shrink frozen pretrained towers despite
+    their zero gradients (ref 'frozen' tower option, modalities/image.py:737).
+    """
     def base_tx(scale: float = 1.0):
         chain = []
         if grad_clip:
@@ -80,16 +87,26 @@ def make_optimizer(
             raise ValueError(optimizer)
         return optax.chain(*chain)
 
-    if not lr_scales:
+    if not lr_scales and not freeze_paths:
         return base_tx()
 
-    transforms = {"__default__": base_tx()}
-    for key, scale in lr_scales.items():
+    transforms = {"__default__": base_tx(), "__frozen__": optax.set_to_zero()}
+    for key, scale in (lr_scales or {}).items():
         transforms[key] = base_tx(scale)
+    frozen = [tuple(p) for p in (freeze_paths or [])]
 
     def label_fn(params):
-        return {
-            k: (k if k in lr_scales else "__default__") for k in params.keys()
-        }
+        def walk(node, prefix):
+            if any(prefix[: len(fp)] == fp for fp in frozen):
+                label = "__frozen__"
+            elif lr_scales and prefix and prefix[0] in lr_scales:
+                label = prefix[0]
+            else:
+                label = None
+            if isinstance(node, dict):
+                return {k: walk(v, prefix + (k,)) for k, v in node.items()}
+            return label or "__default__"
+
+        return walk(params, ())
 
     return optax.multi_transform(transforms, label_fn)

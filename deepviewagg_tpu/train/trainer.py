@@ -41,6 +41,8 @@ class TrainerConfig:
     grad_clip: Optional[float] = 10.0
     grad_accumulate: int = 1
     lr_scales: Optional[Dict[str, float]] = None
+    # param-path prefixes masked out of the optimizer (frozen towers)
+    freeze_paths: Optional[tuple] = None
     run_dir: Optional[str] = None
     track_every: int = 10
     num_batches_cap: Optional[int] = None    # debugging.num_batches
@@ -65,7 +67,11 @@ class Trainer:
     """
 
     def __init__(self, model, num_classes: int, cfg: TrainerConfig,
-                 example_batch=None, seed: int = 0, run_config=None):
+                 example_batch=None, seed: int = 0, run_config=None,
+                 variables_hook=None):
+        """``variables_hook(variables) -> variables`` runs right after
+        parameter init, before the optimizer state is built — the hook point
+        for pretrained-tower overlays (utils/pretrained.py)."""
         self.model = model
         self.cfg = cfg
         self.num_classes = num_classes
@@ -81,13 +87,15 @@ class Trainer:
         variables = jax.jit(model.init, static_argnames=("train",))(
             init_rng, self._strip_meta(init_batch), train=False
         )
+        if variables_hook is not None:
+            variables = variables_hook(jax.device_get(variables))
         schedule = make_schedule(
             cfg.lr_schedule, cfg.base_lr, cfg.total_steps,
             cfg.lr_milestones, cfg.lr_gamma,
         )
         tx = make_optimizer(
             schedule, cfg.optimizer, cfg.momentum, cfg.weight_decay,
-            cfg.grad_clip, cfg.lr_scales,
+            cfg.grad_clip, cfg.lr_scales, freeze_paths=cfg.freeze_paths,
         )
         if cfg.grad_accumulate > 1:
             import optax

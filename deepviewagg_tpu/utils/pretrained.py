@@ -1,0 +1,94 @@
+"""End-to-end pretrained 2D-tower loading.
+
+The reference's flagship accuracy depends on pretrained towers (ADE20K /
+Cityscapes ResNet18 — modules/multimodal/modalities/image.py:721-1398); the
+named configs the paper publishes (``...-ade20k-interpolate``) load them at
+model-build time.  Here: ``apply_tower_weights(variables, spec, path)``
+converts a torch ``state_dict`` (utils/torch_convert.py) and overlays it on
+every image branch of an initialized model — called by ``train.py`` when
+``model.tower_weights`` is set, before the TrainState is built.
+
+Pretrained towers require ``tower_norm='batch'`` (torch checkpoints carry
+BatchNorm stats; our from-scratch default is GroupNorm+WS).  ``train.py``
+flips the spec automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .torch_convert import (
+    convert_resnet18, load_torch_state_dict, merge_tower_params,
+)
+
+__all__ = ["apply_tower_weights", "tower_param_path", "freeze_paths_for_spec"]
+
+# towers that wrap the trunk in a submodule (ResNet18PPM / ResNet18Pyramid
+# instantiate an inner ResNet18, flax auto-names it ResNet18_0)
+_WRAPPED = {"resnet18_ppm": ("ResNet18_0",), "resnet18_pyramid": ("ResNet18_0",)}
+
+
+def _branch_scope(spec, level: int) -> str:
+    """Flax scope of the image branch: MultimodalSeg names per-level
+    ``branch_l{level}``; the no3d / late-fusion families use one ``branch``."""
+    if spec.family in ("no3d", "late_feature", "late_logit"):
+        return "branch"
+    return f"branch_l{level}"
+
+
+def tower_param_path(spec, level: int, bspec) -> Tuple[str, ...]:
+    """Path of the trunk's parameter subtree inside the variables pytree."""
+    return (_branch_scope(spec, level), "tower") + _WRAPPED.get(bspec.tower, ())
+
+
+def freeze_paths_for_spec(spec):
+    """Param-path prefixes to mask out of the optimizer for frozen towers."""
+    return tuple(
+        (_branch_scope(spec, level), "tower")
+        for level, b in spec.branches
+        if b.frozen
+    )
+
+
+def _out_level(tower: str) -> int:
+    if tower.startswith("resnet18_l"):
+        return int(tower[-1])
+    return 4
+
+
+def apply_tower_weights(variables, spec, path: str):
+    """Overlay a torch ResNet18 checkpoint onto every image branch.
+
+    ``variables``: the initialized ``{"params", "batch_stats"}`` tree.
+    Raises if the towers were not built with ``tower_norm='batch'`` (the
+    converted BN stats would have nowhere to land).
+    """
+    sd = load_torch_state_dict(path)
+    if not any(b.tower_norm == "batch" for _, b in spec.branches):
+        raise ValueError(
+            "pretrained tower weights need tower_norm='batch' on the branch "
+            "spec (torch checkpoints carry BatchNorm statistics)"
+        )
+    for level, b in spec.branches:
+        params, stats = convert_resnet18(sd, out_level=_out_level(b.tower))
+        tpath = tower_param_path(spec, level, b)
+        variables = merge_tower_params(variables, tpath, params, stats)
+    return variables
+
+
+def tower_leaf_count(variables, spec) -> Dict[str, int]:
+    """Diagnostic: number of param leaves per tower subtree (logged by
+    train.py so silent no-op loads are visible)."""
+    import jax
+
+    out = {}
+    for level, b in spec.branches:
+        node = variables["params"]
+        for p in tower_param_path(spec, level, b):
+            node = node.get(p, {})
+        out["/".join(tower_param_path(spec, level, b))] = len(
+            jax.tree_util.tree_leaves(node)
+        )
+    return out

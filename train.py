@@ -172,6 +172,31 @@ def main(argv=None):
         cfg.model.name, num_classes, cfg.model.in_channels,
         cfg.model.overrides,
     )
+    variables_hook = None
+    freeze_paths = None
+    if cfg.model.tower_weights or cfg.model.tower_frozen:
+        import dataclasses as _dc
+
+        from deepviewagg_tpu.utils import pretrained as _pre
+
+        spec = _dc.replace(spec, branches=tuple(
+            (lvl, _dc.replace(
+                b,
+                tower_norm="batch" if cfg.model.tower_weights else b.tower_norm,
+                frozen=cfg.model.tower_frozen,
+            ))
+            for lvl, b in spec.branches
+        ))
+        if cfg.model.tower_frozen:
+            freeze_paths = _pre.freeze_paths_for_spec(spec)
+        if cfg.model.tower_weights:
+            def variables_hook(variables, _spec=spec):
+                out = _pre.apply_tower_weights(
+                    variables, _spec, cfg.model.tower_weights
+                )
+                print("loaded tower weights:",
+                      _pre.tower_leaf_count(out, _spec))
+                return out
     branch_levels = sorted(dict(spec.branches))
     bucket = auto_bucket(cfg, train_ds, branch_levels)
     print(f"bucket: levels={list(bucket.level_caps)} views={bucket.view_cap} "
@@ -201,6 +226,7 @@ def main(argv=None):
         weight_decay=cfg.training.weight_decay,
         grad_clip=cfg.training.grad_clip,
         grad_accumulate=cfg.training.grad_accumulate,
+        freeze_paths=freeze_paths,
         run_dir=cfg.training.run_dir,
         num_batches_cap=cfg.training.num_batches_cap
         if not cfg.training.early_break else 2,
@@ -236,7 +262,8 @@ def main(argv=None):
         make_val = lambda: iter(val_loader)                        # noqa: E731
 
     trainer = Trainer(model, num_classes, tcfg, example_batch=example,
-                      seed=cfg.training.seed, run_config=cfg.to_dict())
+                      seed=cfg.training.seed, run_config=cfg.to_dict(),
+                      variables_hook=variables_hook)
     if cfg.training.resume and trainer.checkpoint and trainer.checkpoint.has("latest"):
         trainer.state = trainer.checkpoint.restore_state("latest", trainer.state)
         print("resumed from latest checkpoint")
