@@ -1,14 +1,13 @@
-"""Benchmark harness: fused 3D+2D forward throughput on real hardware.
+"""Benchmark harness: fused 3D+2D train-step + forward throughput.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
-
-Metric: valid voxels per second per chip through the flagship multimodal
-forward (Res16UNet34 + early ResNet18-PPM branch + group-attention view
-pooling) on an S3DIS-shaped synthetic batch.  The reference publishes no
-throughput numbers (BASELINE.md), so ``vs_baseline`` compares against this
-repo's own recorded baseline in ``bench_baseline.json`` (created on first
-run).
-"""
+Prints ONE JSON line.  Primary metric: valid voxels per second per chip
+through the FULL training step (forward + backward + optimizer update) of
+the flagship multimodal model (Res16UNet34 + early ResNet18-PPM branch +
+group-attention view pooling) on an S3DIS-shaped synthetic batch; the
+inference forward rides along as ``forward_*`` keys.  The reference
+publishes no throughput numbers (BASELINE.md), so ``vs_baseline`` compares
+against this repo's own recorded round-1 numbers in ``bench_baseline.json``
+(train step 344k voxels/s, PERF.md methodology)."""
 
 import json
 import os
@@ -132,33 +131,63 @@ def main():
 
     # tunnel latency/jitter is large: take the best of several long/short
     # chain differences
-    short, long_ = 3, 13
-    dts = []
-    for _ in range(3):
-        dts.append((chain(long_) - chain(short)) / (long_ - short))
-    dt = min(d for d in dts if d > 0) if any(d > 0 for d in dts) else min(
-        abs(d) for d in dts
-    )
-    value = n_valid / dt
+    def measure(chain_fn, short=3, long_=13, reps=3):
+        dts = []
+        for _ in range(reps):
+            dts.append((chain_fn(long_) - chain_fn(short)) / (long_ - short))
+        if any(d > 0 for d in dts):
+            return min(d for d in dts if d > 0)
+        return min(abs(d) for d in dts)
 
-    vs = 1.0
+    fwd_value = n_valid / measure(chain)
+
+    # --- full training step: forward + backward + optimizer update --------
+    import optax
+
+    from deepviewagg_tpu.train.optimizers import make_optimizer, make_schedule
+    from deepviewagg_tpu.train.step import TrainState, make_train_step
+
+    tx = make_optimizer(make_schedule("constant", 0.1), grad_clip=10.0)
+    state = TrainState.create(variables, tx)
+    train_step = jax.jit(make_train_step(model), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(0)
+    state, _ = train_step(state, batch, rng)  # compile + one execution
+
+    def train_chain(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(rng, i))
+        np.asarray(metrics["loss"])
+        return time.perf_counter() - t0
+
+    train_value = n_valid / measure(train_chain)
+
+    base = {}
     if os.path.exists(BASELINE_FILE):
         try:
-            prior = json.load(open(BASELINE_FILE))["value"]
-            vs = value / prior
+            base = json.load(open(BASELINE_FILE))
         except Exception:
             pass
-    else:
+    changed = False
+    for key, v in (("value", fwd_value), ("train_value", train_value)):
+        if key not in base:
+            base[key] = v
+            changed = True
+    if changed:
         try:
-            json.dump({"value": value}, open(BASELINE_FILE, "w"))
+            json.dump(base, open(BASELINE_FILE, "w"))
         except OSError:
             pass
 
     print(json.dumps({
-        "metric": "fused_3d2d_forward_voxels_per_sec_per_chip",
-        "value": round(value, 1),
+        "metric": "train_step_voxels_per_sec_per_chip",
+        "value": round(train_value, 1),
         "unit": "voxels/s",
-        "vs_baseline": round(vs, 4),
+        "vs_baseline": round(train_value / base["train_value"], 4),
+        "forward_voxels_per_sec": round(fwd_value, 1),
+        "forward_vs_baseline": round(fwd_value / base["value"], 4),
     }))
 
 
