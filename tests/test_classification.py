@@ -5,6 +5,9 @@ import numpy as np
 
 from deepviewagg_tpu.data.collate import Bucket, Sample, collate, device_view
 from deepviewagg_tpu.models.classification import SparseConv3dCls
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_classification_forward(rng):

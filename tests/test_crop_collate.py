@@ -7,6 +7,9 @@ from deepviewagg_tpu.data.collate import Bucket, collate, device_view
 from deepviewagg_tpu.data.toy import flagship_spec, toy_samples
 from deepviewagg_tpu.models.segmentation import MultimodalSeg
 from deepviewagg_tpu.ops import voxel as _voxel
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_collate_with_image_ladder():

@@ -9,6 +9,9 @@ from deepviewagg_tpu.data import synthetic
 from deepviewagg_tpu.models.detection import VoteNetDet, votenet_loss
 from deepviewagg_tpu.nn.pointnet2 import build_pointnet_graph
 from deepviewagg_tpu.ops import spatial as sp
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def _detection_batch(rng):

@@ -15,6 +15,9 @@ from deepviewagg_tpu.data.toy import flagship_spec, toy_batch
 from deepviewagg_tpu.models.segmentation import MultimodalSeg
 from deepviewagg_tpu.train.optimizers import make_optimizer, make_schedule
 from deepviewagg_tpu.train.step import TrainState, make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_zbuffer_deterministic():

@@ -7,6 +7,9 @@ import numpy as np
 from deepviewagg_tpu.data.collate import device_view
 from deepviewagg_tpu.data.toy import flagship_spec, toy_batch
 from deepviewagg_tpu.models.segmentation import MultimodalSeg
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_forward_with_no_valid_views():

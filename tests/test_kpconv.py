@@ -8,6 +8,9 @@ from deepviewagg_tpu.nn.kpconv import (
     KPConvSeg, kernel_point_dispositions,
 )
 from deepviewagg_tpu.nn.pointnet2 import build_pointnet_graph
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_dispositions_well_spread():

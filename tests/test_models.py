@@ -20,6 +20,8 @@ from deepviewagg_tpu.models.segmentation import (
 )
 from deepviewagg_tpu.ops import voxel
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 def _make_sample(seed):
     scene = synthetic.make_scene(seed=seed, density=40.0, n_cameras=2,

@@ -4,9 +4,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from deepviewagg_tpu.models.panoptic import (
     PanopticSeg, cluster_instances, instance_loss,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_cluster_instances_separates_boxes(rng):

@@ -6,6 +6,9 @@ import numpy as np
 
 from deepviewagg_tpu.nn.pointcnn import PointCNNSeg
 from deepviewagg_tpu.nn.pointnet2 import build_pointnet_graph
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_pointcnn_forward_backward(rng):

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepviewagg_tpu.nn.pointnet2 import PointNet2Seg, build_pointnet_graph
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_pointnet2_forward_backward(rng):

@@ -25,6 +25,8 @@ from deepviewagg_tpu.utils.pretrained import (  # noqa: E402
 
 from test_torch_convert import TorchResNet18  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 def _tiny_spec(frozen: bool = False):
     spec = flagship_spec(backbone="Res16UNetTest", tower="resnet18_l1",

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepviewagg_tpu.nn.pvcnn import PVCNNSeg, normalize_to_grid
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_pvcnn_forward_backward(rng):

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepviewagg_tpu.nn.randlanet import RandLANetSeg, build_randla_graph
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_randlanet_forward_backward(rng):

@@ -4,9 +4,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from deepviewagg_tpu.models.registration import (
     RegistrationNet, hardest_contrastive, kabsch, mutual_nearest,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def _random_rt(rng):

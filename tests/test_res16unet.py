@@ -11,6 +11,9 @@ import numpy as np
 
 from deepviewagg_tpu.nn.res16unet import Res16UNet
 from deepviewagg_tpu.ops import sparse_graph, voxel
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def _toy_batch(rng, n=600, batches=2):

@@ -6,6 +6,9 @@ import numpy as np
 
 from deepviewagg_tpu.nn.pointnet2 import build_pointnet_graph
 from deepviewagg_tpu.nn.rsconv import RSConvSeg
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 def test_rsconv_forward_backward(rng):

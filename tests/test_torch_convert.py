@@ -17,6 +17,8 @@ import jax  # noqa: E402
 from deepviewagg_tpu.modules.image_encoders import ResNet18  # noqa: E402
 from deepviewagg_tpu.utils.torch_convert import convert_resnet18  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 class TorchBasicBlock(tnn.Module):
     def __init__(self, cin, cout, stride=1):

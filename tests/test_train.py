@@ -14,6 +14,8 @@ from deepviewagg_tpu.metrics.tracker import SegmentationTracker, VoteAccumulator
 from deepviewagg_tpu.models.segmentation import MultimodalSeg
 from deepviewagg_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 def test_confusion_matrix_golden():
     cm = ConfusionMatrix(3)
