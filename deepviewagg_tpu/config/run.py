@@ -84,13 +84,15 @@ class RunConfig:
         return dataclasses.asdict(self)
 
 
-def _merge(dc, data: Dict):
+def _merge(dc, data: Dict, ignore_unknown: bool = False):
     for k, v in (data or {}).items():
         if not hasattr(dc, k):
+            if ignore_unknown:  # stored configs from older schema versions
+                continue
             raise KeyError(f"unknown config key: {type(dc).__name__}.{k}")
         cur = getattr(dc, k)
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
-            _merge(cur, v)
+            _merge(cur, v, ignore_unknown)
         else:
             setattr(dc, k, v)
 
@@ -117,8 +119,15 @@ def apply_overrides(cfg: RunConfig, overrides: List[str]) -> RunConfig:
 
 
 def load_run_config(path: Optional[str] = None,
-                    overrides: Optional[List[str]] = None) -> RunConfig:
+                    overrides: Optional[List[str]] = None,
+                    base: Optional[Dict] = None) -> RunConfig:
+    """``base``: a stored run-config dict (a checkpoint's ``run.json``)
+    merged FIRST, so evaluating a saved run reproduces its training config
+    unless the YAML/CLI explicitly override it (ref trainer.py:84,
+    model_checkpoint.py:241-253)."""
     cfg = RunConfig()
+    if base:
+        _merge(cfg, base, ignore_unknown=True)
     if path:
         with open(path) as f:
             _merge(cfg, yaml.safe_load(f) or {})

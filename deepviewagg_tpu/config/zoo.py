@@ -158,3 +158,27 @@ def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
     if overrides:
         entry.update(overrides)
     return _to_spec(entry, num_classes, in_channels)
+
+
+def resolve_spec_from_cfg(model_cfg, num_classes: int) -> ModelSpec:
+    """ModelCfg -> ModelSpec, applying the pretrained-tower implications:
+    ``tower_weights`` switches branches to BatchNorm towers (the converted
+    checkpoints carry BN stats) and ``tower_frozen`` marks them frozen.
+    Shared by train.py and eval.py so a restored checkpoint always rebuilds
+    the exact trained architecture."""
+    import dataclasses as _dc
+
+    spec = get_model_spec(model_cfg.name, num_classes, model_cfg.in_channels,
+                          model_cfg.overrides)
+    tw = getattr(model_cfg, "tower_weights", None)
+    tf = getattr(model_cfg, "tower_frozen", False)
+    if tw or tf:
+        spec = _dc.replace(spec, branches=tuple(
+            (lvl, _dc.replace(
+                b,
+                tower_norm="batch" if tw else b.tower_norm,
+                frozen=tf,
+            ))
+            for lvl, b in spec.branches
+        ))
+    return spec

@@ -34,18 +34,24 @@ def main(argv=None):
 
     import numpy as np
 
-    from deepviewagg_tpu.config import get_model_spec, load_run_config
+    from deepviewagg_tpu.config import load_run_config, resolve_spec_from_cfg
     from deepviewagg_tpu.data.datasets.base import BatchLoader
     from deepviewagg_tpu.metrics.tracker import SegmentationTracker, VoteAccumulator
     from deepviewagg_tpu.models.segmentation import build_model
     from deepviewagg_tpu.train.trainer import Trainer, TrainerConfig
     from train import auto_bucket, build_dataset
 
-    cfg = load_run_config(args.config, args.overrides)
+    # the stored training config is the source of truth for model/data
+    # shapes; --config and CLI overrides refine it (ref trainer.py:84)
+    stored = None
+    run_json = os.path.join(args.run_dir, "run.json")
+    if os.path.exists(run_json):
+        stored = json.load(open(run_json))
+        print(f"restored run config from {run_json}")
+    cfg = load_run_config(args.config, args.overrides, base=stored)
     val_ds = build_dataset(cfg, train=False)
     num_classes = getattr(val_ds, "num_classes", cfg.data.num_classes)
-    spec = get_model_spec(cfg.model.name, num_classes, cfg.model.in_channels,
-                          cfg.model.overrides)
+    spec = resolve_spec_from_cfg(cfg.model, num_classes)
     branch_levels = sorted(dict(spec.branches))
     bucket = auto_bucket(cfg, val_ds, branch_levels)
     model = build_model(spec)

@@ -158,7 +158,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    from deepviewagg_tpu.config import get_model_spec, load_run_config
+    from deepviewagg_tpu.config import load_run_config, resolve_spec_from_cfg
     from deepviewagg_tpu.data.datasets.base import BatchLoader
     from deepviewagg_tpu.models.segmentation import build_model
     from deepviewagg_tpu.train.trainer import Trainer, TrainerConfig
@@ -168,25 +168,12 @@ def main(argv=None):
     val_ds = build_dataset(cfg, train=False)
     num_classes = getattr(train_ds, "num_classes", cfg.data.num_classes)
 
-    spec = get_model_spec(
-        cfg.model.name, num_classes, cfg.model.in_channels,
-        cfg.model.overrides,
-    )
+    spec = resolve_spec_from_cfg(cfg.model, num_classes)
     variables_hook = None
     freeze_paths = None
     if cfg.model.tower_weights or cfg.model.tower_frozen:
-        import dataclasses as _dc
-
         from deepviewagg_tpu.utils import pretrained as _pre
 
-        spec = _dc.replace(spec, branches=tuple(
-            (lvl, _dc.replace(
-                b,
-                tower_norm="batch" if cfg.model.tower_weights else b.tower_norm,
-                frozen=cfg.model.tower_frozen,
-            ))
-            for lvl, b in spec.branches
-        ))
         if cfg.model.tower_frozen:
             freeze_paths = _pre.freeze_paths_for_spec(spec)
         if cfg.model.tower_weights:
