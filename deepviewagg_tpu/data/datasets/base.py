@@ -29,12 +29,27 @@ from .. import transforms2d, transforms3d
 __all__ = ["AreaCache", "SphereDataset", "BatchLoader", "save_area", "load_area"]
 
 
+def _images_sidecar(path: str) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return base + "_images.npy"
+
+
 def save_area(path: str, cloud: Dict) -> None:
     """Serialize a preprocessed area/scan/window: voxelized cloud + mapping
-    arrays + images (or image paths)."""
+    arrays + images (or image paths).
+
+    uint8 image stacks go to an UNCOMPRESSED ``<area>_images.npy`` sidecar
+    that ``load_area`` memory-maps — images never need to be resident in
+    RAM, and per-getitem fancy-indexing reads only the selected images'
+    pages (the reference keeps images on disk and loads per getitem,
+    image.py:973-1102; at its ≥400 GB dataset scale an in-RAM float32 bake
+    is impossible)."""
     m: Optional[MultiViewMapping] = cloud.get("mapping")
     payload = {k: v for k, v in cloud.items()
                if isinstance(v, np.ndarray) and k != "mapping"}
+    imgs = payload.get("images")
+    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+        np.save(_images_sidecar(path), payload.pop("images"))
     if m is not None:
         for f in ("point_id", "image_id", "view_feats", "view_valid",
                   "pix_view", "pix_x", "pix_y", "pix_valid"):
@@ -63,6 +78,9 @@ def load_area(path: str) -> Dict:
         cloud["mapping"] = MultiViewMapping(
             num_points=int(n_pts), num_images=int(n_img), **mapping_fields
         )
+    sidecar = _images_sidecar(path)
+    if "images" not in cloud and os.path.exists(sidecar):
+        cloud["images"] = np.load(sidecar, mmap_mode="r")
     return cloud
 
 
@@ -196,11 +214,19 @@ class SphereDataset:
                         sub, sigma=self.jitter_mapping, rng=self._rng
                     )
             elif sub["mapping"].num_images > self.image_slots:
-                counts = np.zeros(sub["mapping"].num_images, np.int64)
-                np.add.at(counts, sub["mapping"].image_id[sub["mapping"].view_valid], 1)
-                keep = np.sort(np.argsort(-counts)[: self.image_slots])
+                # eval: deterministic max-coverage subset (same criterion as
+                # preprocess selection; the reference applies pixel credit at
+                # eval too — top-view-count alone throws away coverage on
+                # image-dense scans)
+                keep = transforms2d.select_images_by_coverage(
+                    sub["mapping"], self.image_slots
+                )
                 sub["mapping"] = sub["mapping"].select_images(keep).compact()
                 sub["images"] = sub["images"][keep]
+        if sub.get("images") is not None and sub["images"].dtype == np.uint8:
+            # uint8 straight off the mmap'd sidecar: materialize only the
+            # selected slots as normalized float32
+            sub["images"] = transforms2d.normalize_images(sub["images"])
         feats = np.concatenate(
             [sub.get("rgb", np.zeros((len(sub["pos"]), 3), np.float32)),
              np.ones((len(sub["pos"]), 1), np.float32)], axis=1

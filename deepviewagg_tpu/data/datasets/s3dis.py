@@ -26,7 +26,7 @@ import numpy as np
 from ...core.cameras import Camera
 from ..geometric import pca_features
 from ..mapping_factory import VisibilityParams, build_mappings
-from ..transforms2d import normalize_images
+from ..transforms2d import select_images_by_coverage
 from ..transforms3d import Compose, RandomNoise, RandomRotate, RandomScaleAnisotropic
 from .base import AreaCache, SphereDataset, load_area, save_area
 
@@ -76,13 +76,18 @@ def load_s3dis_room(room_dir: str):
 
 
 def _load_image(path: str, size) -> np.ndarray:
+    """-> uint8 [W, H, 3] with x = width (PIL arrays are [H, W, 3]).
+
+    Images stay uint8 through preprocessing and the area cache (¼ the
+    float32 footprint; the reference also keeps uint8 on disk and converts
+    per-getitem, image.py:973-1102); normalization to ImageNet statistics
+    happens per-sample in ``SphereDataset.__getitem__``."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
     if img.size != tuple(size):
         img = img.resize(tuple(size), Image.BILINEAR)
-    # [W, H, 3] with x = width (our convention; PIL arrays are [H, W, 3])
-    return np.asarray(img, np.float32).transpose(1, 0, 2) / 255.0
+    return np.asarray(img, np.uint8).transpose(1, 0, 2)
 
 
 def area_cameras(area_dir: str, image_size=IMG_SIZE) -> List[dict]:
@@ -148,22 +153,28 @@ def preprocess_s3dis_area(
     geo = pca_features(g["pos"], k=50)
 
     cams_meta = area_cameras(area_dir, image_size)
-    if max_images:
-        cams_meta = cams_meta[:max_images]
     cams = [c["camera"] for c in cams_meta]
+    # mappings are built for EVERY camera; max_images then keeps a greedy
+    # max-coverage subset (the reference selects by mapping area / pixel
+    # credit at preprocess time, data_transform/multimodal/image.py:713,765
+    # — NOT the first N, which is coverage-blind)
     mapping = build_mappings(
         g["pos"], cams,
         VisibilityParams(voxel=voxel_size, exact=exact_splatting,
                          k_swell=1.0, d_swell=1000.0),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
+    if max_images and mapping.num_images > max_images:
+        keep = select_images_by_coverage(mapping, max_images)
+        mapping = mapping.select_images(keep).compact()
+        cams_meta = [cams_meta[i] for i in keep]
+    # only the selected images are ever read from disk, as uint8
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
-    images = normalize_images(images)
     payload = {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
         "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
-        "mapping": mapping, "images": images.astype(np.float32),
+        "mapping": mapping, "images": images,
     }
     if keep_raw:
         # raw (pre-voxelization) cloud for full-resolution vote remap

@@ -24,7 +24,7 @@ from ...core.cameras import Camera
 from ...utils.ply import read_ply
 from ..geometric import pca_features
 from ..mapping_factory import VisibilityParams, build_mappings
-from ..transforms2d import normalize_images
+from ..transforms2d import select_images_by_coverage
 from .base import AreaCache, SphereDataset, save_area
 from .s3dis import _load_image, default_augment
 
@@ -130,21 +130,25 @@ def preprocess_scannet_scan(
     g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
     geo = pca_features(g["pos"], k=50)
     cams_meta = scan_cameras(scan_dir, image_size, frame_step)
-    if max_images:
-        cams_meta = cams_meta[:max_images]
     cams = [c["camera"] for c in cams_meta]
     mapping = build_mappings(
         g["pos"], cams,
         VisibilityParams(voxel=voxel_size, exact=False),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
+    # greedy max-coverage selection over the full mapping, then load only
+    # the kept frames as uint8 (see s3dis.preprocess_s3dis_area)
+    if max_images and mapping.num_images > max_images:
+        keep = select_images_by_coverage(mapping, max_images)
+        mapping = mapping.select_images(keep).compact()
+        cams_meta = [cams_meta[i] for i in keep]
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
     save_area(out_path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
         "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
         "mapping": mapping,
-        "images": normalize_images(images).astype(np.float32),
+        "images": images,
     })
     return out_path
 

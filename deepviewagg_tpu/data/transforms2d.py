@@ -28,6 +28,7 @@ from .mapping import MultiViewMapping
 __all__ = [
     "pick_images_by_area",
     "pick_images_by_credit",
+    "select_images_by_coverage",
     "jitter_mapping_features",
     "normalize_images",
     "center_roll",
@@ -59,6 +60,39 @@ def pick_images_by_area(
     if cloud.get("cameras") is not None:
         out["cameras"] = [cloud["cameras"][i] for i in keep]
     return out
+
+
+def select_images_by_coverage(m: MultiViewMapping, n: int) -> np.ndarray:
+    """Deterministic greedy max-coverage subset of ``n`` images (sorted ids).
+
+    Preprocess-time counterpart of :func:`pick_images_by_credit` (reference
+    selects preprocessing images by mapping area / pixel credit,
+    data_transform/multimodal/image.py:713,765): each step keeps the image
+    seeing the most not-yet-covered points, tie-broken by total view count
+    then index — so a ``max_images`` cap keeps the views that matter instead
+    of the first N cameras."""
+    if m.num_images <= n:
+        return np.arange(m.num_images)
+    v = m.view_valid
+    img_of_view = m.image_id[v]
+    pid_of_view = m.point_id[v]
+    totals = np.bincount(img_of_view, minlength=m.num_images).astype(np.int64)
+
+    unseen = np.ones(m.num_points, bool)
+    remaining = np.ones(m.num_images, bool)
+    picked = []
+    for _ in range(n):
+        gain = np.zeros(m.num_images, np.int64)
+        np.add.at(gain, img_of_view, unseen[pid_of_view])
+        # lexicographic argmax (gain, totals, -index) over remaining images
+        score = np.where(remaining, gain * (totals.max() + 1) + totals, -1)
+        choice = int(np.argmax(score))
+        if score[choice] < 0:
+            break
+        picked.append(choice)
+        remaining[choice] = False
+        unseen[pid_of_view[img_of_view == choice]] = False
+    return np.sort(np.asarray(picked, np.int64))
 
 
 def pick_images_by_credit(
@@ -265,7 +299,8 @@ def normalize_images(
     std: Sequence[float] = (0.229, 0.224, 0.225),
 ) -> np.ndarray:
     """ToFloatImage + Normalize (image.py:1221,1235) — ImageNet statistics."""
+    integer = np.issubdtype(np.asarray(images).dtype, np.integer)
     img = np.asarray(images, np.float32)
-    if img.max() > 1.5:
+    if integer or (img.size and img.max() > 1.5):
         img = img / 255.0
     return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
