@@ -221,29 +221,36 @@ def main(argv=None):
     )
     def chunk_per_device(loader):
         """data_parallel contract: each step consumes one bucket-shaped
-        batch per device (trainer.py docstring); remainders repeat the last
-        batch to keep the device count static."""
+        batch per device (trainer.py docstring).  The trailing remainder is
+        DROPPED (drop_last semantics, logged) — repeating batches would give
+        duplicated samples double gradient weight."""
         import jax
 
         n = len(jax.devices())
 
         def gen():
             buf = []
+            dropped = 0
             for b in loader:
                 buf.append(b)
                 if len(buf) == n:
                     yield buf
                     buf = []
             if buf:
-                while len(buf) < n:
-                    buf.append(buf[-1])
-                yield buf
+                dropped = len(buf)
+                print(f"data_parallel: dropped {dropped} trailing "
+                      f"batch(es) short of the {n}-device step")
         return gen()
 
     if cfg.training.data_parallel:
         make_train = lambda: chunk_per_device(iter(train_loader))  # noqa: E731
-        make_val = lambda: chunk_per_device(iter(val_loader))      # noqa: E731
-        example = next(chunk_per_device(iter([example])))
+        # eval consumes per-device batches sequentially through the
+        # single-device eval step (Trainer.eval_epoch), so the val loader
+        # stays unchunked — every eval sphere is scored, none duplicated
+        make_val = lambda: iter(val_loader)                        # noqa: E731
+        import jax
+
+        example = [example] * len(jax.devices())  # init-only replication
     else:
         make_train = lambda: iter(train_loader)                    # noqa: E731
         make_val = lambda: iter(val_loader)                        # noqa: E731
