@@ -138,6 +138,10 @@ class SphereDataset:
     center_roll: bool = False                # equirect roll centering
     flip_p: float = 0.0                      # horizontal flip probability
     jitter_mapping: float = 0.0              # view-feature jitter sigma
+    # radiometric augmentation (ref ColorJitter in every flagship recipe,
+    # s3disfused-sparse.yaml:162: brightness/contrast/saturation)
+    color_jitter: Optional[Sequence[float]] = None
+    blur_p: float = 0.0                      # GaussianBlur probability
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -193,6 +197,12 @@ class SphereDataset:
         if self.train and self.augment is not None:
             sub = self.augment(sub, self._rng)
         sub = transforms3d.quantize_cloud(sub, self.voxel_size)
+        # uint8 images (the mmap'd cache format) must be ImageNet-normalized
+        # at the END of the 2D chain — latch the flag now because radiometric
+        # transforms convert to [0,1] float along the way (ref chain order:
+        # ColorJitter -> flip -> ToFloatImage -> Normalize)
+        needs_normalize = (sub.get("images") is not None
+                           and sub["images"].dtype == np.uint8)
         if sub.get("mapping") is not None:
             sub = transforms2d.pick_images_by_area(
                 sub, min_points=self.min_points_per_image
@@ -213,6 +223,15 @@ class SphereDataset:
                     sub = transforms2d.jitter_mapping_features(
                         sub, sigma=self.jitter_mapping, rng=self._rng
                     )
+                if self.color_jitter is not None and sub.get("images") is not None:
+                    sub["images"] = transforms2d.color_jitter(
+                        sub["images"], self._rng, *self.color_jitter
+                    )
+                if self.blur_p > 0 and sub.get("images") is not None \
+                        and self._rng.uniform() < self.blur_p:
+                    sub["images"] = transforms2d.gaussian_blur(
+                        sub["images"], self._rng
+                    )
             elif sub["mapping"].num_images > self.image_slots:
                 # eval: deterministic max-coverage subset (same criterion as
                 # preprocess selection; the reference applies pixel credit at
@@ -223,9 +242,8 @@ class SphereDataset:
                 )
                 sub["mapping"] = sub["mapping"].select_images(keep).compact()
                 sub["images"] = sub["images"][keep]
-        if sub.get("images") is not None and sub["images"].dtype == np.uint8:
-            # uint8 straight off the mmap'd sidecar: materialize only the
-            # selected slots as normalized float32
+        if needs_normalize and sub.get("images") is not None:
+            # materialize only the selected slots as normalized float32
             sub["images"] = transforms2d.normalize_images(sub["images"])
         feats = np.concatenate(
             [sub.get("rgb", np.zeros((len(sub["pos"]), 3), np.float32)),

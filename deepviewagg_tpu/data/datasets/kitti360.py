@@ -291,6 +291,9 @@ def preprocess_kitti360_window(
                         for c in cams_meta])
               if cams_meta else np.zeros((0,) + tuple(image_size) + (3,),
                                          np.uint8))
+    from .s3dis import _apply_non_static_mask
+
+    mapping = _apply_non_static_mask(mapping, images)
     save_area(out_path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
@@ -357,6 +360,8 @@ def make_kitti360_dataset(
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
         train=train, augment=default_augment() if train else None,
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
+        # kitti360-sparse.yaml:135 radiometric augmentation
+        color_jitter=(0.6, 0.6, 0.7) if train else None,
     )
 
 

@@ -112,6 +112,22 @@ def area_cameras(area_dir: str, image_size=IMG_SIZE) -> List[dict]:
     return out
 
 
+def _apply_non_static_mask(mapping, images, n_sample: int = 5):
+    """Invalidate mapping pixels on static (identical-across-images) pixels
+    — the capture rig in panoramas / lens vignettes (ref NonStaticMask in
+    every flagship recipe's pre_transform, image.py:106-158; the reference
+    bakes the mask into projection, we apply it to the computed mapping —
+    same pixels dropped)."""
+    from ..transforms2d import mask_mapping_pixels, non_static_mask
+
+    if len(images) < 2:
+        return mapping
+    mask = non_static_mask(images, n_sample=n_sample)
+    if mask.all():
+        return mapping
+    return mask_mapping_pixels({"mapping": mapping}, mask)["mapping"]
+
+
 def preprocess_s3dis_area(
     root: str, area: int, out_dir: str,
     voxel_size: float = 0.05,
@@ -170,6 +186,7 @@ def preprocess_s3dis_area(
         cams_meta = [cams_meta[i] for i in keep]
     # only the selected images are ever read from disk, as uint8
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
+    mapping = _apply_non_static_mask(mapping, images)
     payload = {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
@@ -227,5 +244,8 @@ def make_s3dis_dataset(
         center_roll=True,               # equirectangular panoramas (§A.7)
         flip_p=0.5 if train else 0.0,
         jitter_mapping=0.02 if train else 0.0,
+        # the flagship recipe's radiometric augmentation
+        # (s3disfused-sparse.yaml:162)
+        color_jitter=(0.6, 0.6, 0.7) if train else None,
     )
     return ds

@@ -143,6 +143,9 @@ def preprocess_scannet_scan(
         mapping = mapping.select_images(keep).compact()
         cams_meta = [cams_meta[i] for i in keep]
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
+    from .s3dis import _apply_non_static_mask
+
+    mapping = _apply_non_static_mask(mapping, images)
     save_area(out_path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
@@ -201,4 +204,6 @@ def make_scannet_dataset(
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
         train=train, augment=default_augment() if train else None,
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
+        # scannet-sparse.yaml:156 radiometric augmentation
+        color_jitter=(0.6, 0.6, 0.7) if train else None,
     )

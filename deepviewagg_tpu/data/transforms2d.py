@@ -34,6 +34,13 @@ __all__ = [
     "center_roll",
     "crop_images",
     "random_horizontal_flip",
+    "color_jitter",
+    "gaussian_blur",
+    "non_static_mask",
+    "mask_mapping_pixels",
+    "drop_images_outside_bbox",
+    "pick_k_images",
+    "grid_sample_images",
 ]
 
 
@@ -304,3 +311,209 @@ def normalize_images(
     if integer or (img.size and img.max() > 1.5):
         img = img / 255.0
     return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+# --------------------------------------------------------------------------
+# Radiometric augmentations (reference TorchvisionTransform family,
+# image.py:1249-1269 — flagship recipes use ColorJitter(0.6, 0.6, 0.7))
+# --------------------------------------------------------------------------
+
+def _to_unit_float(images: np.ndarray) -> np.ndarray:
+    img = np.asarray(images, np.float32)
+    if np.issubdtype(np.asarray(images).dtype, np.integer) or (
+        img.size and img.max() > 1.5
+    ):
+        img = img / 255.0
+    return img
+
+
+def _grayscale(img: np.ndarray) -> np.ndarray:
+    # ITU-R 601 luma, matching torchvision rgb_to_grayscale
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])[..., None]
+
+
+def color_jitter(
+    images: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.6,
+    contrast: float = 0.6,
+    saturation: float = 0.7,
+) -> np.ndarray:
+    """torchvision-semantics ColorJitter on a [I, W, H, 3] stack in [0, 1]
+    (ref image.py:1249: per call one factor per property, uniform in
+    [max(0, 1-s), 1+s], applied in random order).  Factors are drawn PER
+    IMAGE here — strictly more augmentation diversity at equal cost."""
+    img = _to_unit_float(images)
+    n = img.shape[0]
+
+    def f(strength):
+        return rng.uniform(max(0.0, 1.0 - strength), 1.0 + strength,
+                           size=(n, 1, 1, 1)).astype(np.float32)
+
+    ops = []
+    if brightness > 0:
+        ops.append(lambda x: x * f(brightness))
+    if contrast > 0:
+        def _contrast(x):
+            mean = _grayscale(x).mean(axis=(1, 2, 3), keepdims=True)
+            return (x - mean) * f(contrast) + mean
+        ops.append(_contrast)
+    if saturation > 0:
+        def _saturate(x):
+            g = _grayscale(x)
+            fac = f(saturation)
+            return x * fac + g * (1.0 - fac)
+        ops.append(_saturate)
+    for i in rng.permutation(len(ops)):
+        img = ops[i](img)
+    return np.clip(img, 0.0, 1.0)
+
+
+def gaussian_blur(
+    images: np.ndarray,
+    rng: np.random.Generator,
+    kernel_size: int = 9,
+    sigma: Tuple[float, float] = (0.1, 2.0),
+) -> np.ndarray:
+    """Separable Gaussian blur with a per-call random sigma
+    (ref GaussianBlur, image.py:1262: torchvision T.GaussianBlur)."""
+    img = _to_unit_float(images)
+    s = float(rng.uniform(*sigma))
+    half = kernel_size // 2
+    xs = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / s) ** 2)
+    k /= k.sum()
+
+    def conv_axis(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (half, half)
+        xp = np.pad(x, pad, mode="edge")
+        out = np.zeros_like(x)
+        for i, w in enumerate(k):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(i, i + x.shape[axis])
+            out += w * xp[tuple(sl)]
+        return out
+
+    return conv_axis(conv_axis(img, 1), 2)
+
+
+def non_static_mask(images: np.ndarray, n_sample: int = 5,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """bool [W, H]: pixels that DIFFER somewhere across ``n_sample`` images
+    (ref NonStaticMask, image.py:106-158: static pixels — e.g. the capture
+    rig in equirectangular panoramas — are identical in every image and
+    must not contribute mappings)."""
+    n = min(n_sample, len(images))
+    w, h = images.shape[1], images.shape[2]
+    if n < 2:
+        return np.ones((w, h), bool)
+    rng = rng or np.random.default_rng(0)
+    idx = rng.choice(len(images), size=n, replace=False)
+    ref = images[idx[0]]
+    mask = np.zeros((w, h), bool)
+    for i in idx[1:]:
+        mask |= (images[i] != ref).any(axis=-1)
+    return mask
+
+
+def mask_mapping_pixels(cloud: dict, mask: np.ndarray) -> dict:
+    """Invalidate mapping pixels falling on masked-out (static) pixels —
+    the consumption side of :func:`non_static_mask` (the reference bakes the
+    mask into projection, image.py:158)."""
+    import dataclasses
+
+    m: MultiViewMapping = cloud["mapping"]
+    vc = m.view_capacity
+    ok = m.pix_valid & mask[np.clip(m.pix_x, 0, mask.shape[0] - 1),
+                            np.clip(m.pix_y, 0, mask.shape[1] - 1)]
+    # views that lose every pixel become invalid (the contract: every valid
+    # view owns >= 1 pixel); views/pixels re-sort to contiguous prefixes
+    owned = np.zeros(vc + 1, np.int64)
+    np.add.at(owned, np.minimum(m.pix_view, vc), ok.astype(np.int64))
+    view_valid = m.view_valid & (owned[:vc] > 0)
+    pid = np.where(view_valid, m.point_id, m.num_points)
+    order = np.argsort(pid, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    pix_ok = ok & view_valid[np.minimum(m.pix_view, vc - 1)]
+    new_pv = np.where(pix_ok, inv[np.minimum(m.pix_view, vc - 1)], vc)
+    pix_order = np.argsort(new_pv, kind="stable")
+    out = dict(cloud)
+    out["mapping"] = dataclasses.replace(
+        m,
+        point_id=pid[order].astype(np.int32),
+        image_id=m.image_id[order],
+        view_feats=m.view_feats[order],
+        view_valid=view_valid[order],
+        pix_view=new_pv[pix_order].astype(np.int32),
+        pix_x=m.pix_x[pix_order],
+        pix_y=m.pix_y[pix_order],
+        pix_valid=pix_ok[pix_order],
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Image-set reduction transforms (ref image.py:647-712)
+# --------------------------------------------------------------------------
+
+def _select_cloud_images(cloud: dict, keep: np.ndarray) -> dict:
+    out = dict(cloud)
+    if cloud.get("mapping") is not None:
+        out["mapping"] = cloud["mapping"].select_images(keep).compact()
+    if cloud.get("images") is not None:
+        out["images"] = cloud["images"][keep]
+    if cloud.get("cameras") is not None:
+        out["cameras"] = [cloud["cameras"][i] for i in keep]
+    if cloud.get("cam_pos") is not None:
+        out["cam_pos"] = np.asarray(cloud["cam_pos"])[keep]
+    return out
+
+
+def drop_images_outside_bbox(cloud: dict, margin: float = 0.0,
+                             ignore_z: bool = False) -> dict:
+    """Drop images whose camera sits outside the cloud's bounding box
+    (+margin/2 per side) — ref DropImagesOutsideDataBoundingBox
+    (image.py:647-664).  Camera positions come from ``cloud['cam_pos']``
+    [I, 3] or ``cloud['cameras']``."""
+    cam_pos = cloud.get("cam_pos")
+    if cam_pos is None:
+        cam_pos = np.stack([c.pos for c in cloud["cameras"]])
+    cam_pos = np.asarray(cam_pos, np.float32)
+    b_min = cloud["pos"].min(axis=0) - margin / 2
+    b_max = cloud["pos"].max(axis=0) + margin / 2
+    inside = (cam_pos > b_min) & (cam_pos < b_max)
+    dims = 2 if ignore_z else 3
+    keep = np.nonzero(inside[:, :dims].all(axis=1))[0]
+    return _select_cloud_images(cloud, keep)
+
+
+def pick_k_images(cloud: dict, k: int, random: bool = False,
+                  rng: Optional[np.random.Generator] = None) -> dict:
+    """Keep K images: random without replacement, or one-every-K strided
+    (ref PickKImages, image.py:689-712 — note the strided branch keeps
+    every k-th image, matching ``slice(0, n, k)``)."""
+    m: MultiViewMapping = cloud["mapping"]
+    if random:
+        rng = rng or np.random.default_rng(0)
+        keep = np.sort(rng.choice(m.num_images, size=min(k, m.num_images),
+                                  replace=False))
+    else:
+        keep = np.arange(0, m.num_images, k)
+    return _select_cloud_images(cloud, keep)
+
+
+def grid_sample_images(cloud: dict, size: float) -> dict:
+    """Keep one image per ``size``-cell of camera positions (mode='last') —
+    ref GridSampleImages (image.py:669-686): close-by redundant viewpoints
+    collapse to a single representative."""
+    cam_pos = cloud.get("cam_pos")
+    if cam_pos is None:
+        cam_pos = np.stack([c.pos for c in cloud["cameras"]])
+    cells = np.floor(np.asarray(cam_pos, np.float64) / size).astype(np.int64)
+    # last image per cell (stable unique on reversed order)
+    _, first_rev = np.unique(cells[::-1], axis=0, return_index=True)
+    keep = np.sort(len(cells) - 1 - first_rev)
+    return _select_cloud_images(cloud, keep)
