@@ -49,7 +49,10 @@ def average_precision(
     taken = np.zeros(len(gt_boxes), bool)
     tp = np.zeros(len(order))
     for i in range(len(order)):
-        j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+        # VoteNet/PASCAL protocol: match the best-overlapping GT by RAW IoU;
+        # if that GT is already taken the prediction is a duplicate -> FP
+        # (matching the best UNtaken GT would convert protocol-FPs to TPs)
+        j = int(np.argmax(iou[i]))
         if iou[i, j] >= iou_thresh and not taken[j]:
             taken[j] = True
             tp[i] = 1

@@ -43,13 +43,22 @@ def _build() -> bool:
         return False
 
 
+def _stale(so: str) -> bool:
+    """A .so older than kernelmap.cpp silently shadows source edits."""
+    src = os.path.join(_DIR, "kernelmap.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(so)
+    except OSError:
+        return False
+
+
 def _load():
     global lib
     so = _find_built()
-    if so is None:
+    if so is None or _stale(so):
         if os.environ.get("DVA_NO_NATIVE"):
             return
-        if not _build():
+        if not _build() and so is None:
             return
     try:
         from . import _kernelmap  # type: ignore

@@ -19,6 +19,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -32,6 +33,28 @@ inline int64_t pack(const int32_t* row) {
   int64_t key = row[0];
   for (int i = 1; i < 4; ++i) key = (key << SHIFT) | (row[i] + BIAS);
   return key;
+}
+
+// Mirror ops/voxel.py ravel_coords' asserts: out-of-range coordinates would
+// silently corrupt packed keys and yield wrong neighbor tables (and the
+// python-side asserts vanish under `python -O`), so validate here too.
+constexpr int32_t MAX_COORD = (int32_t)(BIAS - 1);
+constexpr int64_t MAX_BATCH = (int64_t)1 << (63 - 3 * SHIFT);
+
+bool check_coord_range(const int32_t* c, npy_intp n, const char* what) {
+  for (npy_intp i = 0; i < n; ++i) {
+    const int32_t* row = c + 4 * i;
+    if (row[0] < 0 || (int64_t)row[0] >= MAX_BATCH ||
+        std::abs(row[1]) > MAX_COORD || std::abs(row[2]) > MAX_COORD ||
+        std::abs(row[3]) > MAX_COORD) {
+      PyErr_Format(PyExc_ValueError,
+                   "%s row %ld out of 19-bit key range "
+                   "(batch %d, coords %d %d %d)",
+                   what, (long)i, row[0], row[1], row[2], row[3]);
+      return false;
+    }
+  }
+  return true;
 }
 
 // open-addressing hash table: int64 key -> int32 value
@@ -121,6 +144,15 @@ PyObject* build_kernel_map(PyObject*, PyObject* args) {
   npy_intp n = PyArray_DIM(in_arr, 0);
   npy_intp m = PyArray_DIM(out_arr, 0);
   npy_intp k = PyArray_DIM(off_arr, 0);
+  if (!check_coord_range((const int32_t*)PyArray_DATA(in_arr), n,
+                         "in_coords") ||
+      !check_coord_range((const int32_t*)PyArray_DATA(out_arr), m,
+                         "out_coords")) {
+    Py_DECREF(in_arr);
+    Py_DECREF(out_arr);
+    Py_DECREF(off_arr);
+    return nullptr;
+  }
   if (cap_in < 0) cap_in = n;
   if (cap_out < 0) cap_out = m;
   if (cap_in < n || cap_out < m) {
@@ -196,6 +228,10 @@ PyObject* unique_inverse(PyObject*, PyObject* args) {
   if (!arr) return nullptr;
   npy_intp n = PyArray_DIM(arr, 0);
   const int32_t* c = (const int32_t*)PyArray_DATA(arr);
+  if (!check_coord_range(c, n, "coords")) {
+    Py_DECREF(arr);
+    return nullptr;
+  }
 
   std::vector<int64_t> keys((size_t)n);
   std::vector<int32_t> order((size_t)n);
@@ -252,6 +288,12 @@ PyObject* query_coords(PyObject*, PyObject* args) {
     return nullptr;
   }
   npy_intp n = PyArray_DIM(tab, 0), m = PyArray_DIM(q, 0);
+  if (!check_coord_range((const int32_t*)PyArray_DATA(tab), n, "table") ||
+      !check_coord_range((const int32_t*)PyArray_DATA(q), m, "queries")) {
+    Py_DECREF(tab);
+    Py_DECREF(q);
+    return nullptr;
+  }
   npy_intp dims[1] = {m};
   PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT32);
   const int32_t* tc = (const int32_t*)PyArray_DATA(tab);

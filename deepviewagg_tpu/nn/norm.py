@@ -112,11 +112,16 @@ class MaskedBatchNorm(nn.Module):
 
 
 class MaskedGroupNorm(nn.Module):
-    """GroupNorm over channels, computed per row — padding-independent.
+    """GroupNorm matching torch semantics on dense inputs, per-row on
+    sparse point tensors.
 
-    Used by the 2D towers (the reference replaces BatchNorm with
-    GroupNorm + weight standardization in its trained-from-scratch image
-    encoders, modules/multimodal/modalities/image.py:53-126).
+    Image inputs ``[N, W, H, C]`` normalize each sample over
+    ``(W, H, C/g)`` per group — identical to ``torch.nn.GroupNorm`` (the
+    reference's from-scratch towers use GN+WS,
+    modules/multimodal/modalities/image.py:53-126; flax ``nn.GroupNorm``
+    is used on that path).  Point tensors ``[P, C]`` normalize per ROW over
+    ``C/g`` — a deliberate divergence: rows are capacity-padded and a batch
+    reduction would mix padding into the statistics.
     """
 
     num_groups: int = 32
@@ -134,8 +139,13 @@ class MaskedGroupNorm(nn.Module):
         xf = x.astype(jnp.float32)
         shape = x.shape[:-1] + (g, c // g)
         xg = xf.reshape(shape)
-        mean = xg.mean(axis=-1, keepdims=True)
-        var = xg.var(axis=-1, keepdims=True)
+        if x.ndim >= 3:
+            # dense [N, spatial..., C]: reduce over spatial axes + C/g
+            axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        else:
+            axes = (-1,)
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = xg.var(axis=axes, keepdims=True)
         y = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y.reshape(x.shape) * scale + bias
         return y.astype(self.dtype)

@@ -1,6 +1,7 @@
 """Detection mAP: IoU golden values + matching behavior."""
 
 import numpy as np
+import pytest
 
 from deepviewagg_tpu.metrics.detection import (
     average_precision, box_iou_3d, mean_average_precision,
@@ -40,3 +41,22 @@ def test_mean_average_precision_pools_scenes():
               "classes": np.array([1])}]
     m = mean_average_precision(preds, gt, num_classes=2)
     assert m["mAP"] > 0.99 and m["AP_0"] > 0.99 and m["AP_1"] > 0.99
+
+
+def test_duplicate_detection_is_fp():
+    """Protocol check: a second, lower-score prediction overlapping an
+    already-matched GT is a false positive, even if another untaken GT has
+    some overlap (VoteNet/PASCAL matching by raw-IoU argmax)."""
+    from deepviewagg_tpu.metrics.detection import average_precision
+
+    gt = np.array([[0, 0, 0, 2, 2, 2],
+                   [1.6, 0, 0, 2, 2, 2]], np.float32)
+    preds = np.array([
+        [0, 0, 0, 2, 2, 2],          # exact match of GT0 (score 0.9)
+        [0.2, 0, 0, 2, 2, 2],        # duplicate of GT0 (raw argmax = GT0,
+                                     # taken -> FP, despite overlapping GT1)
+    ], np.float32)
+    scores = np.array([0.9, 0.8])
+    ap = average_precision(preds, scores, gt, iou_thresh=0.25)
+    # one TP of two GTs, one FP: 11-point AP = (recall<=0.5)*max_prec(1.0)
+    assert ap == pytest.approx(6 / 11, abs=1e-6)
