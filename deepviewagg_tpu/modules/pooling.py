@@ -36,6 +36,7 @@ __all__ = [
     "HeuristicPool",
     "Gating",
     "DeepSetFeat",
+    "MinMaxDiffSetFeat",
     "GroupViewPool",
     "QKVViewPool",
     "expand_group_feat",
@@ -143,6 +144,38 @@ class DeepSetFeat(nn.Module):
         return MLP([d, d], name="rho")(fused, valid=valid, train=train)
 
 
+class MinMaxDiffSetFeat(nn.Module):
+    """Element-wise set features from difference-to-min / difference-to-max
+    / set size (ref ``MinMaxDiffSetFeat``, pooling.py:554-601): each element
+    is concatenated with ``x - min(set)`` and ``x - max(set)`` plus an
+    optional ``1/sqrt(n)`` size feature, then embedded by a bias-free MLP."""
+
+    out_channels: int
+    use_min: bool = True
+    use_max: bool = True
+    use_num: bool = False
+
+    @nn.compact
+    def __call__(self, x, segment_ids, valid, num_segments: int, train=True):
+        parts = [x]
+        if self.use_min:
+            mn = seg.segment_reduce(x, segment_ids, num_segments, "min", valid)
+            parts.append(x - mn[segment_ids])
+        if self.use_max:
+            mx = seg.segment_reduce(x, segment_ids, num_segments, "max", valid)
+            parts.append(x - mx[segment_ids])
+        if self.use_num:
+            n = seg.segment_count(segment_ids, num_segments, valid)
+            parts.append(
+                (1.0 / jnp.sqrt(jnp.maximum(n, 1e-3)))[segment_ids][:, None]
+            )
+        h = jnp.concatenate(parts, axis=-1)
+        d = self.out_channels
+        # MLP's norm=True path is already bias-free Dense + masked BN,
+        # matching the reference's MLP(..., bias=False)
+        return MLP([d, d], name="mlp")(h, valid=valid, train=train)
+
+
 class GroupViewPool(nn.Module):
     """The paper's attention pooling (``GroupBimodalCSRPool``,
     pooling.py:159-319).
@@ -171,6 +204,10 @@ class GroupViewPool(nn.Module):
         c = self.out_channels
         if self.set_encoder == "deepset":
             enc = DeepSetFeat(self.set_channels, name="set_enc")(
+                x_map, segment_ids, valid, num_segments, train=train
+            )
+        elif self.set_encoder == "minmaxdiff":
+            enc = MinMaxDiffSetFeat(self.set_channels, name="set_enc")(
                 x_map, segment_ids, valid, num_segments, train=train
             )
         else:  # plain per-element MLP (MLPSetFeat, pooling.py:676)

@@ -41,9 +41,14 @@ def build_pointnet_graph(
     n_points: Sequence[int] = (4096, 1024, 256, 64),
     radii: Sequence[float] = (0.1, 0.2, 0.4, 0.8),
     k: int = 32,
+    self_k: int = 0,
 ) -> Dict:
     """Host-side: FPS centers, ball-query groups and upsampling kNN per SA
-    level.  Returns a jit-ready dict pytree of index tables."""
+    level.  Returns a jit-ready dict pytree of index tables.
+
+    ``self_k > 0`` additionally stores per-level SAME-level neighbor tables
+    among the centers (``self_group``/``self_count``) — PPNet's resnet
+    bottlenecks aggregate within a level (ref modules/PPNet/blocks.py)."""
     sep = _separated(pos, batch_idx)
     levels: List[Dict] = []
     cur_pos, cur_valid = sep, np.asarray(valid, bool)
@@ -60,6 +65,11 @@ def build_pointnet_graph(
             "group_count": counts.astype(np.int32),
             "center_valid": cur_valid[centers],
         })
+        if self_k:
+            sg, sc = sp.ball_query(cpos, cpos, r * 2, self_k,
+                                   valid=cur_valid[centers])
+            levels[-1]["self_group"] = sg
+            levels[-1]["self_count"] = sc.astype(np.int32)
         cur_pos = cpos
         cur_valid = cur_valid[centers]
     # FP: interpolation indices from level l+1 -> l (and level 0 -> input)

@@ -35,6 +35,9 @@ def _knn_device(query, points, valid, k, block):
             - 2.0 * q @ points.T
             + pts_sq[None, :]
         )
+        # the expanded form goes slightly negative for near-duplicates in
+        # f32 (observed on TPU); callers sqrt these
+        d = jnp.maximum(d, 0.0)
         d = jnp.where(valid[None, :], d, big)
         nd, ni = jax.lax.top_k(-d, k)
         return carry, (-nd, ni)
@@ -85,3 +88,18 @@ def radius_count(query, points, radius: float, valid=None, block: int = 1024):
         )
         out.append(np.asarray(jnp.sum((d <= r2) & valid[None, :], axis=1)))
     return np.concatenate(out)
+
+
+def dilated_knn(query, points, k: int, dilation: int, valid=None,
+                rng=None, block: int = 1024):
+    """Dilated kNN (ref DilatedKNNNeighbourFinder, neighbour_finder.py:131):
+    find ``k * dilation`` nearest neighbors, then keep a random ``k`` of
+    them per query — a cheap receptive-field expansion.  ``rng`` is a numpy
+    Generator (host-side table construction, like every index table)."""
+    if dilation <= 1:
+        return knn(query, points, k, valid=valid, block=block)
+    d, i = knn(query, points, k * dilation, valid=valid, block=block)
+    rng = rng or np.random.default_rng(0)
+    pick = rng.integers(0, k * dilation, size=(len(i), k))
+    rows = np.arange(len(i))[:, None]
+    return np.asarray(d)[rows, pick], np.asarray(i)[rows, pick]

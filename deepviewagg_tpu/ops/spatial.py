@@ -85,3 +85,19 @@ def knn_interpolate(feats, src_pos, dst_pos, k: int = 3, valid=None,
     w = w / jnp.sum(w, axis=1, keepdims=True)
     f = jnp.asarray(feats)[jnp.asarray(idx)]
     return jnp.sum(f * w[..., None], axis=1)
+
+
+def multiscale_ball_query(query, points, radii, ks, valid=None,
+                          block: int = 1024):
+    """One neighbor table per scale (ref MultiscaleRadiusNeighbourFinder,
+    neighbour_finder.py:170): ``radii`` and ``ks`` are matched lists;
+    returns ``[(idx [Nq, k_s], counts [Nq]), ...]``."""
+    if not hasattr(radii, "__len__"):
+        radii = [radii]
+    if not hasattr(ks, "__len__"):
+        ks = [ks] * len(radii)
+    assert len(radii) == len(ks), "radii/ks length mismatch"
+    return [
+        ball_query(query, points, r, k, valid=valid, block=block)
+        for r, k in zip(radii, ks)
+    ]
