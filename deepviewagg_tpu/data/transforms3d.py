@@ -25,6 +25,13 @@ __all__ = [
     "Compose", "RandomRotate", "RandomScaleAnisotropic", "RandomNoise",
     "RandomSymmetry", "ElasticDistortion", "RandomDropout",
     "sphere_select", "cylinder_select", "quantize_cloud",
+    # crop / dropout family (transforms.py:665-1123)
+    "SphereCrop", "CubeCrop", "EllipsoidCrop", "RandomSphereDropout",
+    "FixedSphereDropout", "RandomWalkDropout", "DensityFilter",
+    "PeriodicSampling", "ShuffleData", "ShiftVoxels", "RandomTranslation",
+    # chromatic / feature composition (feature_augment.py, features.py)
+    "ChromaticTranslation", "ChromaticAutoContrast", "ChromaticJitter",
+    "DropFeature", "XYZFeature", "AddOnes", "AddFeatsByKeys",
 ]
 
 
@@ -212,3 +219,326 @@ def quantize_cloud(cloud: dict, voxel_size: float) -> dict:
             g["inverse"], len(g["coords"])
         ).compact()
     return out
+
+
+# --------------------------------------------------------------------------
+# Crop / dropout family (ref transforms.py:726-1123): every row reduction
+# rides select_rows so labels/feats/mapping follow.
+# --------------------------------------------------------------------------
+
+class SphereCrop:
+    """Crop to a random sphere of ``radius`` centered on a random point
+    (ref SphereCrop, transforms.py:910)."""
+
+    def __init__(self, radius: float = 2.0):
+        self.radius = radius
+
+    def __call__(self, cloud, rng):
+        pos = cloud["pos"]
+        c = pos[int(rng.integers(len(pos)))]
+        keep = np.nonzero(np.linalg.norm(pos - c, axis=1) < self.radius)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class CubeCrop:
+    """Crop to a random axis-aligned cube of side ``2 * c`` after an
+    optional random z-rotation (ref CubeCrop, transforms.py:939)."""
+
+    def __init__(self, c: float = 1.0, rot_z: bool = True):
+        self.c = c
+        self.rot_z = rot_z
+
+    def __call__(self, cloud, rng):
+        pos = cloud["pos"]
+        center = pos[int(rng.integers(len(pos)))]
+        rel = pos - center
+        if self.rot_z:
+            rel = rel @ _rot_z(rng.uniform(-np.pi, np.pi)).T
+        keep = np.nonzero((np.abs(rel) <= self.c).all(axis=1))[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class EllipsoidCrop:
+    """Crop to a random ellipsoid with semi-axes (a, b, c)
+    (ref EllipsoidCrop, transforms.py:982)."""
+
+    def __init__(self, a: float = 1.0, b: float = 1.0, c: float = 1.0):
+        self.abc = np.array([a, b, c], np.float32)
+
+    def __call__(self, cloud, rng):
+        pos = cloud["pos"]
+        center = pos[int(rng.integers(len(pos)))]
+        rel = (pos - center) / self.abc
+        keep = np.nonzero(np.sum(rel * rel, axis=1) < 1.0)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class RandomSphereDropout:
+    """Delete points inside ``num_sphere`` random spheres of ``radius``
+    (ref RandomSphereDropout, transforms.py:834)."""
+
+    def __init__(self, num_sphere: int = 10, radius: float = 5.0):
+        self.num_sphere = num_sphere
+        self.radius = radius
+
+    def __call__(self, cloud, rng):
+        pos = cloud["pos"]
+        drop = np.zeros(len(pos), bool)
+        for _ in range(self.num_sphere):
+            c = pos[int(rng.integers(len(pos)))]
+            drop |= np.linalg.norm(pos - c, axis=1) < self.radius
+        keep = np.nonzero(~drop)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class FixedSphereDropout:
+    """Delete points inside spheres at FIXED centers (ref
+    FixedSphereDropout, transforms.py:873) — reproducible occlusions."""
+
+    def __init__(self, centers, radius: float = 5.0):
+        self.centers = np.asarray(centers, np.float32).reshape(-1, 3)
+        self.radius = radius
+
+    def __call__(self, cloud, rng):
+        pos = cloud["pos"]
+        drop = np.zeros(len(pos), bool)
+        for c in self.centers:
+            drop |= np.linalg.norm(pos - c, axis=1) < self.radius
+        keep = np.nonzero(~drop)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class RandomWalkDropout:
+    """Delete points visited by a random walk over the kNN graph
+    (ref RandomWalkDropout, transforms.py:778): simulates scan shadows."""
+
+    def __init__(self, dropout_ratio: float = 0.04, num_iter: int = 5000,
+                 k: int = 8, restart_p: float = 0.04):
+        self.ratio = dropout_ratio
+        self.num_iter = num_iter
+        self.k = k
+        self.restart_p = restart_p
+
+    def __call__(self, cloud, rng):
+        from ..ops.knn import knn
+
+        pos = cloud["pos"]
+        n = len(pos)
+        _, nbrs = knn(pos, pos, min(self.k + 1, n))
+        nbrs = np.asarray(nbrs)[:, 1:]          # drop self
+        keep_mask = np.ones(n, bool)
+        cur = int(rng.integers(n))
+        for _ in range(min(self.num_iter, int(n * self.ratio * 25))):
+            keep_mask[cur] = False
+            if rng.random() < self.restart_p:
+                cur = int(rng.integers(n))
+            else:
+                cur = int(nbrs[cur][int(rng.integers(nbrs.shape[1]))])
+        keep = np.nonzero(keep_mask)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class DensityFilter:
+    """Drop points with fewer than ``min_num`` neighbors inside
+    ``radius_nn`` (ref DensityFilter, transforms.py:1030)."""
+
+    def __init__(self, radius_nn: float = 0.04, min_num: int = 6, k: int = 16):
+        self.radius_nn = radius_nn
+        self.min_num = min_num
+        self.k = k
+
+    def __call__(self, cloud, rng):
+        from ..ops.knn import knn
+
+        pos = cloud["pos"]
+        d2, _ = knn(pos, pos, min(self.k, len(pos)))
+        counts = (np.asarray(d2) <= self.radius_nn ** 2).sum(axis=1) - 1
+        keep = np.nonzero(counts >= self.min_num)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class PeriodicSampling:
+    """Keep points whose distance to an anchor is within a periodic band
+    (ref PeriodicSampling, transforms.py:1095)."""
+
+    def __init__(self, period: float = 0.1, prop: float = 0.1,
+                 box_multiplier: float = 1.0):
+        self.period = period
+        self.prop = prop
+        self.box_multiplier = box_multiplier
+
+    def __call__(self, cloud, rng):
+        pos = cloud["pos"]
+        lo, hi = pos.min(0), pos.max(0)
+        anchor = lo + rng.uniform(0, 1, 3) * (hi - lo) * self.box_multiplier
+        d = np.linalg.norm(pos - anchor.astype(np.float32), axis=1)
+        keep = np.nonzero((d % self.period) < self.period * self.prop)[0]
+        return select_rows(cloud, keep) if len(keep) >= 16 else cloud
+
+
+class ShuffleData:
+    """Random row permutation (ref ShuffleData, transforms.py:665) — breaks
+    any file-order correlation before capacity-cropped batching."""
+
+    def __call__(self, cloud, rng):
+        order = rng.permutation(len(cloud["pos"]))
+        # select_rows requires sorted indices for the mapping path; shuffle
+        # the non-mapping arrays only when a mapping is present
+        if cloud.get("mapping") is not None:
+            return cloud
+        out = dict(cloud)
+        n = len(cloud["pos"])
+        for k, v in cloud.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
+                out[k] = v[order]
+        return out
+
+
+class ShiftVoxels:
+    """Shift quantized coords by a random positive offset so sparse convs
+    see both even and odd alignments (ref ShiftVoxels, transforms.py:699).
+    Apply AFTER quantize_cloud."""
+
+    def __init__(self, apply_shift: bool = True):
+        self.apply_shift = apply_shift
+
+    def __call__(self, cloud, rng):
+        if not self.apply_shift or cloud.get("coords") is None:
+            return cloud
+        out = dict(cloud)
+        out["coords"] = (
+            cloud["coords"] + rng.integers(0, 100, 3).astype(np.int32)
+        )
+        return out
+
+
+class RandomTranslation:
+    """Uniform global position jitter (ref RandomTranslation,
+    features.py:84)."""
+
+    def __init__(self, delta: float = 0.1):
+        self.delta = delta
+
+    def __call__(self, cloud, rng):
+        out = dict(cloud)
+        t = rng.uniform(-self.delta, self.delta, 3).astype(np.float32)
+        out["pos"] = cloud["pos"] + t
+        return out
+
+
+# --------------------------------------------------------------------------
+# Chromatic / feature transforms (ref feature_augment.py + features.py)
+# --------------------------------------------------------------------------
+
+class ChromaticTranslation:
+    """Global random color shift, clamped to [0, 1] (feature_augment.py:28)."""
+
+    def __init__(self, trans_range_ratio: float = 0.1, p: float = 0.95):
+        self.ratio = trans_range_ratio
+        self.p = p
+
+    def __call__(self, cloud, rng):
+        if cloud.get("rgb") is None or rng.random() > self.p:
+            return cloud
+        out = dict(cloud)
+        tr = (rng.uniform(0, 1, (1, 3)) - 0.5) * 2 * self.ratio
+        out["rgb"] = np.clip(cloud["rgb"] + tr.astype(np.float32), 0, 1)
+        return out
+
+
+class ChromaticAutoContrast:
+    """Blend colors toward their min-max rescale (feature_augment.py:52)."""
+
+    def __init__(self, randomize_blend_factor: bool = True,
+                 blend_factor: float = 0.5, p: float = 0.2):
+        self.randomize = randomize_blend_factor
+        self.blend = blend_factor
+        self.p = p
+
+    def __call__(self, cloud, rng):
+        if cloud.get("rgb") is None or rng.random() > self.p:
+            return cloud
+        rgb = cloud["rgb"]
+        lo, hi = rgb.min(0, keepdims=True), rgb.max(0, keepdims=True)
+        scale = 1.0 / np.maximum(hi - lo, 1e-6)
+        contrast = (rgb - lo) * scale
+        b = rng.random() if self.randomize else self.blend
+        out = dict(cloud)
+        out["rgb"] = ((1 - b) * rgb + b * contrast).astype(np.float32)
+        return out
+
+
+class ChromaticJitter:
+    """Per-point gaussian color noise, clamped (feature_augment.py:90)."""
+
+    def __init__(self, std: float = 0.01, p: float = 0.95):
+        self.std = std
+        self.p = p
+
+    def __call__(self, cloud, rng):
+        if cloud.get("rgb") is None or rng.random() > self.p:
+            return cloud
+        out = dict(cloud)
+        noise = rng.normal(0, self.std, cloud["rgb"].shape).astype(np.float32)
+        out["rgb"] = np.clip(cloud["rgb"] + noise, 0, 1)
+        return out
+
+
+class DropFeature:
+    """Zero one feature column with probability p (feature_augment.py:115)."""
+
+    def __init__(self, drop_proba: float = 0.2, feature_name: str = "rgb"):
+        self.p = drop_proba
+        self.key = feature_name
+
+    def __call__(self, cloud, rng):
+        if cloud.get(self.key) is None or rng.random() > self.p:
+            return cloud
+        out = dict(cloud)
+        out[self.key] = np.zeros_like(cloud[self.key])
+        return out
+
+
+class XYZFeature:
+    """Append (a subset of) the raw xyz coordinates as features
+    (ref XYZFeature, features.py:604): stored under ``cloud['xyz_feat']``
+    for AddFeatsByKeys to compose."""
+
+    def __init__(self, add_x: bool = True, add_y: bool = True,
+                 add_z: bool = True):
+        self.axes = [i for i, a in enumerate((add_x, add_y, add_z)) if a]
+
+    def __call__(self, cloud, rng=None):
+        out = dict(cloud)
+        out["xyz_feat"] = cloud["pos"][:, self.axes].astype(np.float32)
+        return out
+
+
+class AddOnes:
+    """Constant-one feature column (ref AddOnes, features.py:590)."""
+
+    def __call__(self, cloud, rng=None):
+        out = dict(cloud)
+        out["ones"] = np.ones((len(cloud["pos"]), 1), np.float32)
+        return out
+
+
+class AddFeatsByKeys:
+    """Concatenate named per-point arrays into ``cloud['feats']``
+    (ref AddFeatsByKeys, features.py:109 — the declarative feature
+    composition every reference dataset config uses)."""
+
+    def __init__(self, keys: Sequence[str]):
+        self.keys = list(keys)
+
+    def __call__(self, cloud, rng=None):
+        cols = []
+        for k in self.keys:
+            v = cloud.get(k)
+            if v is None:
+                raise KeyError(f"AddFeatsByKeys: missing '{k}'")
+            v = np.asarray(v, np.float32)
+            cols.append(v[:, None] if v.ndim == 1 else v)
+        out = dict(cloud)
+        out["feats"] = np.concatenate(cols, axis=1)
+        return out
