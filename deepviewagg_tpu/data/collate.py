@@ -172,6 +172,9 @@ def collate(
                         )
                     vc = padded.view_capacity
                     bk["pix_view"] = pad_to(bk["pix_view"], qcap, fill=vc)
+                    bk["pix_ptr"] = np.searchsorted(
+                        bk["pix_view"], np.arange(vc + 2)
+                    ).astype(np.int32)
                     bk["pix_x"] = pad_to(bk["pix_x"], qcap)
                     bk["pix_y"] = pad_to(bk["pix_y"], qcap)
                     bk["pix_valid"] = pad_to(bk["pix_valid"], qcap, fill=False)

@@ -143,6 +143,11 @@ def split_mapping_by_bucket(
         "view": {
             "point_id": m.point_id, "image_id": m.image_id,
             "view_feats": m.view_feats, "view_valid": m.view_valid,
+            # CSR pointer of the sorted point_id column (segment_csr indptr)
+            # so the pallas view-pool path skips on-device searchsorted
+            "point_ptr": np.searchsorted(
+                m.point_id, np.arange(m.num_points + 2)
+            ).astype(np.int32),
         },
         "buckets": buckets,
         "num_points": m.num_points,

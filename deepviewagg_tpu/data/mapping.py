@@ -255,13 +255,24 @@ class MultiViewMapping:
         return seen[: self.num_points]
 
     def to_device(self) -> dict:
-        """The pytree the jitted branch consumes."""
+        """The pytree the jitted branch consumes.
+
+        ``point_ptr`` / ``pix_ptr`` are the CSR pointers of the sorted id
+        columns (the reference's ``segment_csr`` indptr) — host-computed so
+        the pallas segment kernels never pay for an on-device searchsorted.
+        """
         return {
             "point_id": self.point_id,
+            "point_ptr": np.searchsorted(
+                self.point_id, np.arange(self.num_points + 2)
+            ).astype(np.int32),
             "image_id": self.image_id,
             "view_feats": self.view_feats,
             "view_valid": self.view_valid,
             "pix_view": self.pix_view,
+            "pix_ptr": np.searchsorted(
+                self.pix_view, np.arange(self.view_capacity + 2)
+            ).astype(np.int32),
             "pix_x": self.pix_x,
             "pix_y": self.pix_y,
             "pix_valid": self.pix_valid,

@@ -120,11 +120,12 @@ class UnimodalBranch(nn.Module):
         )
         x_view = seg.segment_reduce(
             pix_feats, mapping["pix_view"], vc + 1, self.atomic_reduce,
-            valid=mapping["pix_valid"],
+            valid=mapping["pix_valid"], ptr=mapping.get("pix_ptr"),
         )[:vc]
 
         # --- views -> points (view pool) ---------------------------------
         pid = mapping["point_id"]
+        p_ptr = mapping.get("point_ptr")
         v_valid = mapping["view_valid"]
         x_map = mapping["view_feats"]
         attn = None
@@ -132,19 +133,21 @@ class UnimodalBranch(nn.Module):
             pooled, attn = GroupViewPool(
                 self.out_channels, num_groups=self.num_groups,
                 use_mod=self.use_mod, gated=self.gated, name="view_pool",
-            )(x_view, x_map, pid, v_valid, num_points + 1, train=train)
+            )(x_view, x_map, pid, v_valid, num_points + 1, train=train,
+              ptr=p_ptr)
         elif self.view_pool == "qkv":
             pooled, attn = QKVViewPool(
                 self.out_channels, num_groups=self.num_groups,
                 gated=self.gated, name="view_pool",
-            )(x_3d, x_view, x_map, pid, v_valid, num_points + 1, train=train)
+            )(x_3d, x_view, x_map, pid, v_valid, num_points + 1, train=train,
+              ptr=p_ptr)
         elif self.view_pool == "heuristic":
             pooled = HeuristicPool(name="view_pool")(
                 x_view, x_map, pid, v_valid, num_points + 1, train=train
             )
         else:
             pooled = SegmentPool(self.view_pool, name="view_pool")(
-                x_view, pid, v_valid, num_points + 1, train=train
+                x_view, pid, v_valid, num_points + 1, train=train, ptr=p_ptr
             )
         pooled = pooled[:num_points]
 

@@ -75,23 +75,24 @@ class MultiBucketBranch(nn.Module):
             pix_feats = self._gather(feats_2d, bucket, ref_size)
             partial = seg.segment_reduce(
                 pix_feats, bucket["pix_view"], vc + 1, self.atomic_reduce,
-                valid=bucket["pix_valid"],
+                valid=bucket["pix_valid"], ptr=bucket.get("pix_ptr"),
             )[:vc]
             partials.append(partial)
         assert partials, "no bucket carries images"
         x_view = sum(partials)
 
         pid = view["point_id"]
+        p_ptr = view.get("point_ptr")
         v_valid = view["view_valid"]
         if self.view_pool == "group":
             pooled, _ = GroupViewPool(
                 self.out_channels, num_groups=self.num_groups,
                 gated=self.gated, name="view_pool",
             )(x_view, view["view_feats"], pid, v_valid, num_points + 1,
-              train=train)
+              train=train, ptr=p_ptr)
         else:
             pooled = SegmentPool(self.view_pool, name="view_pool")(
-                x_view, pid, v_valid, num_points + 1, train=train
+                x_view, pid, v_valid, num_points + 1, train=train, ptr=p_ptr
             )
         pooled = pooled[:num_points]
         n_views = seg.segment_count(pid, num_points + 1, v_valid)[:num_points]

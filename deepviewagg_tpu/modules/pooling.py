@@ -72,8 +72,11 @@ class SegmentPool(nn.Module):
     reduce: str = "max"
 
     @nn.compact
-    def __call__(self, x, segment_ids, valid, num_segments: int, train=True):
-        return seg.segment_reduce(x, segment_ids, num_segments, self.reduce, valid)
+    def __call__(self, x, segment_ids, valid, num_segments: int, train=True,
+                 ptr=None):
+        return seg.segment_reduce(
+            x, segment_ids, num_segments, self.reduce, valid, ptr
+        )
 
 
 class HeuristicPool(nn.Module):
@@ -84,7 +87,8 @@ class HeuristicPool(nn.Module):
     mode: str = "argmin"  # closest view by default
 
     @nn.compact
-    def __call__(self, x, x_map, segment_ids, valid, num_segments: int, train=True):
+    def __call__(self, x, x_map, segment_ids, valid, num_segments: int, train=True,
+                 ptr=None):
         key = x_map[:, VIEW_FEATURE_INDEX[self.feature]]
         fn = seg.segment_argmin if self.mode == "argmin" else seg.segment_argmax
         arg, nonempty = fn(key, segment_ids, num_segments, valid)
@@ -122,17 +126,18 @@ class DeepSetFeat(nn.Module):
     use_num: bool = True
 
     @nn.compact
-    def __call__(self, x, segment_ids, valid, num_segments: int, train=True):
+    def __call__(self, x, segment_ids, valid, num_segments: int, train=True,
+                 ptr=None):
         d = self.out_channels
         phi = MLP([d, d], name="phi")(x, valid=valid, train=train)
         pooled = [
-            seg.segment_reduce(phi, segment_ids, num_segments, m, valid)
+            seg.segment_reduce(phi, segment_ids, num_segments, m, valid, ptr)
             for m in self.pool_modes
         ]
         set_feat = jnp.concatenate(pooled, axis=-1)[segment_ids]
         set_feat = MLP([d], name="set_proj")(set_feat, valid=valid, train=train)
         if self.use_num:
-            n = seg.segment_count(segment_ids, num_segments, valid)
+            n = seg.segment_count(segment_ids, num_segments, valid, ptr)
             inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(n, 1.0))
             set_feat = jnp.concatenate(
                 [set_feat, inv_sqrt[segment_ids][:, None]], axis=-1
@@ -156,16 +161,19 @@ class MinMaxDiffSetFeat(nn.Module):
     use_num: bool = False
 
     @nn.compact
-    def __call__(self, x, segment_ids, valid, num_segments: int, train=True):
+    def __call__(self, x, segment_ids, valid, num_segments: int, train=True,
+                 ptr=None):
         parts = [x]
         if self.use_min:
-            mn = seg.segment_reduce(x, segment_ids, num_segments, "min", valid)
+            mn = seg.segment_reduce(x, segment_ids, num_segments, "min", valid,
+                                    ptr)
             parts.append(x - mn[segment_ids])
         if self.use_max:
-            mx = seg.segment_reduce(x, segment_ids, num_segments, "max", valid)
+            mx = seg.segment_reduce(x, segment_ids, num_segments, "max", valid,
+                                    ptr)
             parts.append(x - mx[segment_ids])
         if self.use_num:
-            n = seg.segment_count(segment_ids, num_segments, valid)
+            n = seg.segment_count(segment_ids, num_segments, valid, ptr)
             parts.append(
                 (1.0 / jnp.sqrt(jnp.maximum(n, 1e-3)))[segment_ids][:, None]
             )
@@ -198,17 +206,18 @@ class GroupViewPool(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_mod, x_map, segment_ids, valid, num_segments: int, train=True
+        self, x_mod, x_map, segment_ids, valid, num_segments: int, train=True,
+        ptr=None,
     ):
         g = self.num_groups
         c = self.out_channels
         if self.set_encoder == "deepset":
             enc = DeepSetFeat(self.set_channels, name="set_enc")(
-                x_map, segment_ids, valid, num_segments, train=train
+                x_map, segment_ids, valid, num_segments, train=train, ptr=ptr
             )
         elif self.set_encoder == "minmaxdiff":
             enc = MinMaxDiffSetFeat(self.set_channels, name="set_enc")(
-                x_map, segment_ids, valid, num_segments, train=train
+                x_map, segment_ids, valid, num_segments, train=train, ptr=ptr
             )
         else:  # plain per-element MLP (MLPSetFeat, pooling.py:676)
             enc = MLP([self.set_channels, self.set_channels], name="set_enc")(
@@ -222,13 +231,16 @@ class GroupViewPool(nn.Module):
             score_in = jnp.concatenate([enc, mixed], axis=-1)
         compat = nn.Dense(g, name="e_score")(score_in)           # [E, G]
         attn = seg.segment_softmax(
-            compat, segment_ids, num_segments, valid=valid, scaling=self.scaling
+            compat, segment_ids, num_segments, valid=valid,
+            scaling=self.scaling, ptr=ptr
         )
         values = MLP([c], name="e_mod")(x_mod, valid=valid, train=train)
         w = expand_group_feat(attn, g, c)
-        pooled = seg.segment_weighted_sum(values, w, segment_ids, num_segments, valid)
+        pooled = seg.segment_weighted_sum(
+            values, w, segment_ids, num_segments, valid, ptr
+        )
         if self.gated:
-            cmax = seg.segment_max(compat, segment_ids, num_segments, valid)
+            cmax = seg.segment_max(compat, segment_ids, num_segments, valid, ptr)
             gate = Gating(num_groups=g, name="gating")(cmax)     # [S, G]
             pooled = pooled * expand_group_feat(gate, g, c)
         return pooled, attn
@@ -254,7 +266,7 @@ class QKVViewPool(nn.Module):
     @nn.compact
     def __call__(
         self, x_main, x_mod, x_map, segment_ids, valid, num_segments: int,
-        train=True,
+        train=True, ptr=None,
     ):
         g = self.num_groups
         c = self.out_channels
@@ -264,7 +276,7 @@ class QKVViewPool(nn.Module):
             [queries, jnp.zeros((num_segments - queries.shape[0], g * d))]
         )                                                            # [S, G*d]
         keys = DeepSetFeat(g * d, name="key_enc")(
-            x_map, segment_ids, valid, num_segments, train=train
+            x_map, segment_ids, valid, num_segments, train=train, ptr=ptr
         )                                                            # [E, G*d]
         q = queries.reshape(num_segments, g, d)[segment_ids]
         k = keys.reshape(-1, g, d)
@@ -272,14 +284,16 @@ class QKVViewPool(nn.Module):
         if self.dim_scaling:
             compat = compat / jnp.sqrt(jnp.float32(d))
         attn = seg.segment_softmax(
-            compat, segment_ids, num_segments, valid=valid, scaling=self.scaling
+            compat, segment_ids, num_segments, valid=valid,
+            scaling=self.scaling, ptr=ptr
         )
         values = MLP([c], name="e_mod")(x_mod, valid=valid, train=train)
         pooled = seg.segment_weighted_sum(
-            values, expand_group_feat(attn, g, c), segment_ids, num_segments, valid
+            values, expand_group_feat(attn, g, c), segment_ids, num_segments,
+            valid, ptr
         )
         if self.gated:
-            cmax = seg.segment_max(compat, segment_ids, num_segments, valid)
+            cmax = seg.segment_max(compat, segment_ids, num_segments, valid, ptr)
             pooled = pooled * expand_group_feat(
                 Gating(num_groups=g, name="gating")(cmax), g, c
             )

@@ -18,6 +18,8 @@ Implementation notes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +40,42 @@ __all__ = [
 _NEG = -1e30
 _POS = 1e30
 
+# Pallas sorted-segment kernel dispatch (pallas_segment.py): XLA lowers
+# segment_* to scatter (~11 ns/row measured, PERF.md); the pallas segmented
+# scan runs ~2.2x faster and is exact.  "auto" uses it on TPU for 2-D inputs
+# above a size floor when the caller supplies the host-computed CSR ``ptr``;
+# "on" forces it (tests use interpret mode); "off" disables.
+_PALLAS_MODE = os.environ.get("DVA_PALLAS_SEGMENT", "auto")
+_PALLAS_MIN_ROWS = 65536
+_PALLAS_MIN_COLS = 128
+
+
+def _pallas_fn(x, name: str, ptr):
+    if _PALLAS_MODE == "off" or x.ndim != 2:
+        return None
+    try:
+        from . import pallas_segment as ps
+    except Exception:  # pragma: no cover - pallas unavailable
+        return None
+    if _PALLAS_MODE != "on" and not (
+        ps.pallas_available()
+        # the scan wins only on big, wide inputs: narrow arrays (softmax
+        # logits [E, groups], counts) waste VPU lanes in the (R, C) block
+        # and XLA's 1-D scatter handles them fine; small E never amortizes
+        # the pad + gather epilogue
+        and x.shape[0] >= _PALLAS_MIN_ROWS
+        and x.shape[1] >= _PALLAS_MIN_COLS
+        # without a host-computed CSR ptr the kernel would need an on-device
+        # searchsorted, which costs more than the scan saves
+        and ptr is not None
+    ):
+        return None
+    if os.environ.get("DVA_PALLAS_DEBUG"):  # trace-time dispatch log
+        import sys
+
+        print(f"[pallas-segment] {name} {x.shape} {x.dtype}", file=sys.stderr)
+    return ps.segment_sum_pallas if name == "sum" else ps.segment_max_pallas
+
 
 def _masked(x, valid, fill):
     if valid is None:
@@ -48,26 +86,35 @@ def _masked(x, valid, fill):
     return jnp.where(v, x, fill)
 
 
-def segment_sum(x, segment_ids, num_segments: int, valid=None):
+def segment_sum(x, segment_ids, num_segments: int, valid=None, ptr=None):
+    fn = _pallas_fn(x, "sum", ptr)
+    if fn is not None:
+        return fn(x, segment_ids, num_segments, valid, ptr).astype(x.dtype)
     x = _masked(x, valid, 0)
     return jax.ops.segment_sum(
         x, segment_ids, num_segments=num_segments, indices_are_sorted=True
     )
 
 
-def segment_count(segment_ids, num_segments: int, valid=None):
+def segment_count(segment_ids, num_segments: int, valid=None, ptr=None):
+    if ptr is not None and valid is None:
+        # CSR pointer diff — no reduction at all
+        return (ptr[1:] - ptr[:-1]).astype(jnp.float32)
     ones = jnp.ones(segment_ids.shape, jnp.float32)
     return segment_sum(ones, segment_ids, num_segments, valid)
 
 
-def segment_mean(x, segment_ids, num_segments: int, valid=None):
-    s = segment_sum(x, segment_ids, num_segments, valid)
-    n = segment_count(segment_ids, num_segments, valid)
+def segment_mean(x, segment_ids, num_segments: int, valid=None, ptr=None):
+    s = segment_sum(x, segment_ids, num_segments, valid, ptr)
+    n = segment_count(segment_ids, num_segments, valid, ptr)
     n = n.reshape(n.shape + (1,) * (s.ndim - n.ndim))
     return s / jnp.maximum(n, 1.0)
 
 
-def segment_max(x, segment_ids, num_segments: int, valid=None):
+def segment_max(x, segment_ids, num_segments: int, valid=None, ptr=None):
+    fn = _pallas_fn(x, "max", ptr)
+    if fn is not None:
+        return fn(x, segment_ids, num_segments, valid, ptr).astype(x.dtype)
     x = _masked(x, valid, _NEG)
     out = jax.ops.segment_max(
         x, segment_ids, num_segments=num_segments, indices_are_sorted=True
@@ -77,7 +124,10 @@ def segment_max(x, segment_ids, num_segments: int, valid=None):
     return jnp.where(out <= _NEG / 2, 0.0, out)
 
 
-def segment_min(x, segment_ids, num_segments: int, valid=None):
+def segment_min(x, segment_ids, num_segments: int, valid=None, ptr=None):
+    fn = _pallas_fn(x, "max", ptr)
+    if fn is not None:
+        return -fn(-x, segment_ids, num_segments, valid, ptr).astype(x.dtype)
     x = _masked(x, valid, _POS)
     out = jax.ops.segment_min(
         x, segment_ids, num_segments=num_segments, indices_are_sorted=True
@@ -85,7 +135,8 @@ def segment_min(x, segment_ids, num_segments: int, valid=None):
     return jnp.where(out >= _POS / 2, 0.0, out)
 
 
-def segment_reduce(x, segment_ids, num_segments: int, reduce: str, valid=None):
+def segment_reduce(x, segment_ids, num_segments: int, reduce: str, valid=None,
+                   ptr=None):
     """Dispatch on reduce name — mirrors ``BimodalCSRPool`` modes
     (pooling.py:14-71): max / mean / min / sum."""
     fn = {
@@ -95,7 +146,7 @@ def segment_reduce(x, segment_ids, num_segments: int, reduce: str, valid=None):
         "max": segment_max,
         "min": segment_min,
     }[reduce]
-    return fn(x, segment_ids, num_segments, valid)
+    return fn(x, segment_ids, num_segments, valid, ptr)
 
 
 def gather_segments(y, segment_ids):
@@ -111,6 +162,7 @@ def segment_softmax(
     valid=None,
     scaling: bool = False,
     eps: float = 1e-12,
+    ptr=None,
 ):
     """Numerically-stable softmax within each segment.
 
@@ -118,29 +170,27 @@ def segment_softmax(
     segment before exponentiation, as in the reference's ``segment_softmax_csr``
     (pooling.py:788-801).  Invalid elements get weight 0.
     """
+    seg_max = segment_max(logits, segment_ids, num_segments, valid, ptr)
     logits = _masked(logits, valid, _NEG)
-    seg_max = jax.ops.segment_max(
-        logits, segment_ids, num_segments=num_segments, indices_are_sorted=True
-    )
-    seg_max = jnp.where(seg_max <= _NEG / 2, 0.0, seg_max)
     shifted = logits - seg_max[segment_ids]
     if scaling:
-        n = segment_count(segment_ids, num_segments, valid)
+        n = segment_count(segment_ids, num_segments, valid, ptr)
         denom = jnp.sqrt(jnp.maximum(n, 1.0))[segment_ids]
         denom = denom.reshape(denom.shape + (1,) * (shifted.ndim - denom.ndim))
         shifted = shifted / denom
     e = jnp.exp(shifted)
     e = _masked(e, valid, 0.0)
-    seg_sum = segment_sum(e, segment_ids, num_segments)
+    seg_sum = segment_sum(e, segment_ids, num_segments, ptr=ptr)
     return e / (seg_sum[segment_ids] + eps)
 
 
-def segment_weighted_sum(x, weights, segment_ids, num_segments: int, valid=None):
+def segment_weighted_sum(x, weights, segment_ids, num_segments: int, valid=None,
+                         ptr=None):
     """``sum_i w_i * x_i`` per segment — the attention-pooled value of
     ``GroupBimodalCSRPool`` (pooling.py:297-308)."""
     if weights.ndim < x.ndim:
         weights = weights.reshape(weights.shape + (1,) * (x.ndim - weights.ndim))
-    return segment_sum(x * weights, segment_ids, num_segments, valid)
+    return segment_sum(x * weights, segment_ids, num_segments, valid, ptr)
 
 
 def _segment_arg(x, segment_ids, num_segments, valid, best_fn, fill):
