@@ -136,7 +136,7 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
         backbone=entry.get("backbone", "Res16UNet34"),
         branches=branches,
         family=entry.get("family", "unet"),
-        stem_kernel=entry.get("stem_kernel", 5),
+        stem_kernel=entry.get("stem_kernel", 3),
     )
 
 

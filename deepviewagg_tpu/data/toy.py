@@ -38,6 +38,10 @@ def flagship_spec(
         num_classes=num_classes,
         in_channels=4,
         backbone=backbone,
+        # the reference flagship uses a kernel-3 stem (multimodal
+        # sparseconv3d.yaml:6622 kernel_size [3,2,2,2,2]; 5 never appears in
+        # the MM zoo) -- and it is +21% forward throughput here (PERF.md)
+        stem_kernel=3,
         branches=(
             (0, BranchSpec(
                 tower=tower, out_channels=64, view_pool="group",
@@ -89,6 +93,7 @@ def toy_batch(
     branch_levels=(0,),
     seed: int = 0,
     headroom: float = 1.1,
+    conv0_kernel: int = 3,
 ):
     """One collated batch with capacities sized from the sample contents."""
     samples = toy_samples(n_samples, density, image_size, n_cameras,
@@ -118,5 +123,6 @@ def toy_batch(
         image_cap=n_samples * n_cameras,
         image_size=image_size,
     )
-    batch = collate(samples, bucket, branch_levels=branch_levels)
+    batch = collate(samples, bucket, branch_levels=branch_levels,
+                    conv0_kernel=conv0_kernel)
     return batch, bucket, samples

@@ -72,8 +72,10 @@ class ModelSpec:
     family: str = "unet"   # unet | no3d | late_feature | late_logit
     # stem (conv0) kernel size: 5 matches the Res16UNet presets; 3 trades a
     # little accuracy for ~5x fewer stem gather rows (PERF.md) — must match
-    # the collate-time graph's conv0_kernel
-    stem_kernel: int = 5
+    # the collate-time graph's conv0_kernel; the reference multimodal zoo
+    # always uses 3 (multimodal/sparseconv3d.yaml:6622) -- kernel 5 is only
+    # the MinkowskiEngine class default, never a DeepViewAgg MM config
+    stem_kernel: int = 3
 
     def branch_levels(self):
         return dict(self.branches)

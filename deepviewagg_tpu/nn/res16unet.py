@@ -22,7 +22,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .sparse_blocks import BottleneckBlock, ResBlock, SparseConvNormRelu
+from .sparse_blocks import (BottleneckBlock, ResBlock, SEBottleneckBlock,
+                            SEResBlock, SparseConvNormRelu)
 
 __all__ = [
     "Stem",
@@ -33,27 +34,61 @@ __all__ = [
 ]
 
 # (layers, planes, block) per named variant — widths/depths follow
-# modules/MinkowskiEngine/res16unet.py:246-560.
+# modules/MinkowskiEngine/res16unet.py:246-588: the base class planes are
+# (32,64,128,256,256,256,256,256); named letter variants override decoder
+# widths; 50/101 swap in the bottleneck block (101 deepens stage 4 to 23).
+_BASE = (32, 64, 128, 256, 256, 256, 256, 256)
 RES16_PRESETS = {
+    # NOTE: the names 14/18/34 here follow the DeepViewAgg compact configs'
+    # channel plan (34C-style narrowing decoders — multimodal
+    # sparseconv3d.yaml:6622 up_conv_nn), which is what the paper's models
+    # and the published param counts (28.1M) use — NOT the raw ME class
+    # defaults (those are the *Full variants below).
     "Res16UNet14": ((1, 1, 1, 1, 1, 1, 1, 1), (32, 64, 128, 256, 128, 128, 96, 96), "basic"),
     "Res16UNet18": ((2, 2, 2, 2, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 96, 96), "basic"),
     "Res16UNet34": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 96, 96), "basic"),
-    "Res16UNet50": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 96, 96), "bottleneck"),
-    # A/B/C decoder-width variants of Res16UNet34
+    # ME class defaults (res16unet.py:246-533 PLANES)
+    "Res16UNet14Full": ((1, 1, 1, 1, 1, 1, 1, 1), _BASE, "basic"),
+    "Res16UNet18Full": ((2, 2, 2, 2, 2, 2, 2, 2), _BASE, "basic"),
+    "Res16UNet34Full": ((2, 3, 4, 6, 2, 2, 2, 2), _BASE, "basic"),
+    "Res16UNet50": ((2, 3, 4, 6, 2, 2, 2, 2), _BASE, "bottleneck"),
+    "Res16UNet101": ((2, 3, 4, 23, 2, 2, 2, 2), _BASE, "bottleneck"),
+    # decoder-width letter variants (res16unet.py:536-588)
+    "Res16UNet14A": ((1, 1, 1, 1, 1, 1, 1, 1), (32, 64, 128, 256, 128, 128, 96, 96), "basic"),
+    "Res16UNet14A2": ((1, 1, 1, 1, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 96, 96), "basic"),
+    "Res16UNet14B": ((1, 1, 1, 1, 1, 1, 1, 1), (32, 64, 128, 256, 128, 128, 128, 128), "basic"),
+    "Res16UNet14B2": ((1, 1, 1, 1, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 128, 128), "basic"),
+    "Res16UNet14B3": ((2, 2, 2, 2, 1, 1, 1, 1), (32, 64, 128, 256, 128, 128, 128, 128), "basic"),
+    "Res16UNet14C": ((1, 1, 1, 1, 1, 1, 1, 1), (32, 64, 128, 256, 192, 192, 128, 128), "basic"),
+    "Res16UNet14D": ((1, 1, 1, 1, 1, 1, 1, 1), (32, 64, 128, 256, 384, 384, 384, 384), "basic"),
+    "Res16UNet18A": ((2, 2, 2, 2, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 96, 96), "basic"),
+    "Res16UNet18B": ((2, 2, 2, 2, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 128, 128), "basic"),
+    "Res16UNet18D": ((2, 2, 2, 2, 2, 2, 2, 2), (32, 64, 128, 256, 384, 384, 384, 384), "basic"),
+    "Res16UNet32B": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 64, 64, 64), "basic"),
     "Res16UNet34A": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 64, 64), "basic"),
     "Res16UNet34B": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 64, 32), "basic"),
     "Res16UNet34C": ((2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 96, 96), "basic"),
+    # squeeze-excitation family (SEBasicBlock, modules.py:295; SELayer :276)
+    "SERes16UNet34": ((2, 3, 4, 6, 2, 2, 2, 2), _BASE, "se_basic"),
+    "SERes16UNet50": ((2, 3, 4, 6, 2, 2, 2, 2), _BASE, "se_bottleneck"),
     # tiny config for CPU tests / smoke runs (not a reference preset)
     "Res16UNetTest": ((1, 1, 1, 1, 1, 1, 1, 1), (8, 8, 16, 16, 16, 8, 8, 8), "basic"),
 }
 
 
 def _block_cls(name: str):
-    return {"basic": ResBlock, "bottleneck": BottleneckBlock}[name]
+    return {
+        "basic": ResBlock,
+        "bottleneck": BottleneckBlock,
+        "se_basic": SEResBlock,
+        "se_bottleneck": SEBottleneckBlock,
+    }[name]
 
 
 class Stem(nn.Module):
-    """Initial submanifold conv (kernel 5 in the reference presets)."""
+    """Initial submanifold conv; the kernel size lives in the collate-time
+    graph (``conv0_nbr``) — 3 in every DeepViewAgg multimodal config
+    (sparseconv3d.yaml:6622), 5 only in the raw ME class default."""
 
     out_channels: int = 32
 
@@ -82,7 +117,8 @@ class DownStage(nn.Module):
         )
         blk = _block_cls(self.block)
         for _ in range(self.num_blocks):
-            x = blk(self.out_channels)(x, dst["sub_nbr"], dst["valid"], train=train)
+            x = blk(self.out_channels)(x, dst["sub_nbr"], dst["valid"],
+                                       train=train, batch_idx=dst["batch_idx"])
         return x
 
 
@@ -103,7 +139,8 @@ class UpStage(nn.Module):
         x = jnp.concatenate([x, skip], axis=-1)
         blk = _block_cls(self.block)
         for _ in range(self.num_blocks):
-            x = blk(self.out_channels)(x, dst["sub_nbr"], dst["valid"], train=train)
+            x = blk(self.out_channels)(x, dst["sub_nbr"], dst["valid"],
+                                       train=train, batch_idx=dst["batch_idx"])
         return x
 
 

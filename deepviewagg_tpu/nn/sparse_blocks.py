@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,7 +24,15 @@ from ..ops.sparse_conv import (
 )
 from .norm import MaskedBatchNorm
 
-__all__ = ["SparseConv", "SparseConvNormRelu", "ResBlock", "BottleneckBlock"]
+__all__ = [
+    "SparseConv",
+    "SparseConvNormRelu",
+    "ResBlock",
+    "BottleneckBlock",
+    "SqueezeExcite",
+    "SEResBlock",
+    "SEBottleneckBlock",
+]
 
 
 def _kernel_init(key, shape, dtype=jnp.float32):
@@ -101,7 +110,7 @@ class ResBlock(nn.Module):
     momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, feats, nbr, valid, train: bool = True):
+    def __call__(self, feats, nbr, valid, train: bool = True, batch_idx=None):
         x = SparseConvNormRelu(self.out_channels, momentum=self.momentum,
                                submanifold=True)(
             feats, nbr, valid, train=train
@@ -127,7 +136,7 @@ class BottleneckBlock(nn.Module):
     momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, feats, nbr, valid, train: bool = True):
+    def __call__(self, feats, nbr, valid, train: bool = True, batch_idx=None):
         mid = self.out_channels // self.reduction
         x = nn.Dense(mid, use_bias=False)(feats)
         x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
@@ -136,6 +145,86 @@ class BottleneckBlock(nn.Module):
                                submanifold=True)(x, nbr, valid, train=train)
         x = nn.Dense(self.out_channels, use_bias=False)(x)
         x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
+        if feats.shape[-1] != self.out_channels:
+            skip = nn.Dense(self.out_channels, use_bias=False)(feats)
+            skip = MaskedBatchNorm(momentum=self.momentum)(skip, valid, train=train)
+        else:
+            skip = feats
+        return nn.relu(x + skip)
+
+
+class SqueezeExcite(nn.Module):
+    """Per-sample channel gating (``SELayer``, MinkowskiEngine modules.py:276):
+    global mean pool per batch sample -> bottleneck MLP -> sigmoid scale.
+
+    ``batch_idx`` is the sorted per-voxel sample index from the collated
+    graph (pad rows carry the extra slot and are masked by ``valid``);
+    ``max_batches`` is a static bound on samples per batch.
+    """
+
+    reduction: int = 16
+    max_batches: int = 32
+
+    @nn.compact
+    def __call__(self, x, batch_idx, valid):
+        from ..ops import segment as seg
+
+        c = x.shape[-1]
+        pooled = seg.segment_mean(
+            x, batch_idx, self.max_batches + 1, valid=valid
+        )                                                   # [B+1, C]
+        y = nn.Dense(max(c // self.reduction, 1))(pooled)
+        y = nn.relu(y)
+        y = jax.nn.sigmoid(nn.Dense(c)(y))
+        return x * y[jnp.clip(batch_idx, 0, self.max_batches)]
+
+
+class SEResBlock(nn.Module):
+    """ResBlock with squeeze-excitation on the residual branch before the
+    skip-add (``SEBasicBlock``, MinkowskiEngine modules.py:295-321)."""
+
+    out_channels: int
+    momentum: float = 0.9
+    se_reduction: int = 16
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid, train: bool = True, batch_idx=None):
+        assert batch_idx is not None, "SE blocks need the graph batch_idx"
+        x = SparseConvNormRelu(self.out_channels, momentum=self.momentum,
+                               submanifold=True)(feats, nbr, valid, train=train)
+        x = SparseConvNormRelu(
+            self.out_channels, relu=False, momentum=self.momentum,
+            submanifold=True,
+        )(x, nbr, valid, train=train)
+        x = SqueezeExcite(self.se_reduction)(x, batch_idx, valid)
+        if feats.shape[-1] != self.out_channels:
+            skip = nn.Dense(self.out_channels, use_bias=False)(feats)
+            skip = MaskedBatchNorm(momentum=self.momentum)(skip, valid, train=train)
+        else:
+            skip = feats
+        return nn.relu(x + skip)
+
+
+class SEBottleneckBlock(nn.Module):
+    """Bottleneck + squeeze-excitation (``SEBottleneck``, modules.py:336)."""
+
+    out_channels: int
+    reduction: int = 4
+    momentum: float = 0.9
+    se_reduction: int = 16
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid, train: bool = True, batch_idx=None):
+        assert batch_idx is not None, "SE blocks need the graph batch_idx"
+        mid = self.out_channels // self.reduction
+        x = nn.Dense(mid, use_bias=False)(feats)
+        x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
+        x = nn.relu(x)
+        x = SparseConvNormRelu(mid, momentum=self.momentum,
+                               submanifold=True)(x, nbr, valid, train=train)
+        x = nn.Dense(self.out_channels, use_bias=False)(x)
+        x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
+        x = SqueezeExcite(self.se_reduction)(x, batch_idx, valid)
         if feats.shape[-1] != self.out_channels:
             skip = nn.Dense(self.out_channels, use_bias=False)(feats)
             skip = MaskedBatchNorm(momentum=self.momentum)(skip, valid, train=train)

@@ -99,3 +99,43 @@ def test_preset_param_count():
         np.prod(x.shape) for x in jax.tree_util.tree_leaves(shapes["params"])
     )
     assert 15e6 < n_params < 45e6, n_params
+
+
+def test_se_blocks_forward_backward(rng):
+    # SE family (SEBasicBlock/SELayer, MinkowskiEngine modules.py:276-321):
+    # per-sample squeeze-excitation must run and carry gradients
+    from tests.test_res16unet import _toy_batch, _build  # self-import safe
+
+    coords = _toy_batch(rng, n=400)
+    g, dev = _build(coords)
+    n0 = g.levels[0].num_valid
+    model = Res16UNet(layers=(1,) * 8, planes=(8, 8, 16, 16, 16, 8, 8, 8),
+                      block="se_basic", init_dim=8)
+    feats = jnp.asarray(rng.normal(size=(len(dev["levels"][0]["valid"]), 3)),
+                        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats, dev, train=False)
+    # SE layers present in params
+    names = str(jax.tree_util.tree_structure(variables["params"]))
+    assert "SqueezeExcite" in names
+
+    def loss_fn(params):
+        y = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, dev, train=False,
+        )
+        return jnp.sum(y[:n0] ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_new_presets_resolve():
+    from deepviewagg_tpu.nn.res16unet import RES16_PRESETS
+
+    for name in ["Res16UNet50", "Res16UNet101", "Res16UNet14A", "Res16UNet18B",
+                 "Res16UNet32B", "SERes16UNet34", "Res16UNet34Full"]:
+        layers, planes, block = RES16_PRESETS[name]
+        assert len(layers) == 8 and len(planes) == 8
+        m = Res16UNet.preset(name)
+        assert m.block == block
