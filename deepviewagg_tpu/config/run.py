@@ -72,6 +72,10 @@ class TrainingCfg:
     seed: int = 0
     num_batches_cap: Optional[int] = None     # debugging.num_batches
     early_break: bool = False                 # debugging.early_break
+    # observability fan-out (ref utils/wandb_utils.py:30, base_tracker.py:80)
+    tensorboard: bool = True
+    wandb: bool = False
+    wandb_project: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -123,7 +123,15 @@ class Trainer:
             if cfg.run_dir else None
         )
         from ..utils.logging import MetricLogger
-        self.logger = MetricLogger(cfg.run_dir)
+        self.logger = MetricLogger(
+            cfg.run_dir,
+            use_tensorboard=getattr(cfg, "tensorboard", True),
+            use_wandb=getattr(cfg, "wandb", False),
+            wandb_kwargs=(
+                {"project": cfg.wandb_project}
+                if getattr(cfg, "wandb_project", None) else None
+            ),
+        )
         self.epoch = 0
 
     # ------------------------------------------------------------------

@@ -56,7 +56,11 @@ class MetricLogger:
                 import wandb
                 self._wandb = wandb
                 wandb.init(dir=run_dir, **(wandb_kwargs or {}))
-            except Exception:
+            except Exception as e:  # requested but unavailable: say so once
+                import sys
+
+                print(f"[logging] wandb requested but disabled: {e}",
+                      file=sys.stderr)
                 self._wandb = None
 
     def log(self, metrics: Dict[str, float], step: int):
