@@ -32,6 +32,12 @@ __all__ = [
     # chromatic / feature composition (feature_augment.py, features.py)
     "ChromaticTranslation", "ChromaticAutoContrast", "ChromaticJitter",
     "DropFeature", "XYZFeature", "AddOnes", "AddFeatsByKeys",
+    # round-2 parity stragglers (transforms.py, features.py, filters.py,
+    # sparse_transforms.py, precollate.py, __init__.py)
+    "Random3AxisRotation", "RandomCoordsFlip", "NormalizeRGB",
+    "NormalizeFeature", "ScalePos", "RemoveAttributes", "AddFeatByKey",
+    "LotteryTransform", "RandomParamTransform", "IrregularSampling",
+    "CylinderNormalizeScale", "planarity_filter",
 ]
 
 
@@ -210,6 +216,16 @@ def quantize_cloud(cloud: dict, voxel_size: float) -> dict:
         acc = np.zeros((m, 3), np.float32)
         np.add.at(acc, g["inverse"], cloud["normal"])
         out["normal"] = acc / (np.linalg.norm(acc, axis=1, keepdims=True) + 1e-9)
+    if cloud.get("feats") is not None:
+        # composed feature columns (AddFeatsByKeys) average like rgb — never
+        # leave a per-point array desynced from the merged voxel rows
+        f = np.asarray(cloud["feats"], np.float32)
+        m = len(g["coords"])
+        acc = np.zeros((m, f.shape[1]), np.float32)
+        cnt = np.zeros(m, np.float32)
+        np.add.at(acc, g["inverse"], f)
+        np.add.at(cnt, g["inverse"], 1.0)
+        out["feats"] = acc / np.maximum(cnt, 1.0)[:, None]
     if cloud.get("origin_id") is not None:
         first = np.full(len(g["coords"]), -1, np.int64)
         first[g["inverse"][::-1]] = np.arange(len(pos))[::-1]
@@ -542,3 +558,233 @@ class AddFeatsByKeys:
         out = dict(cloud)
         out["feats"] = np.concatenate(cols, axis=1)
         return out
+
+
+def _rot_axis(axis: int, theta: float) -> np.ndarray:
+    """Rotation matrix about coordinate axis 0/1/2."""
+    c, s = np.cos(theta), np.sin(theta)
+    m = np.eye(3, dtype=np.float32)
+    a, b = [(1, 2), (0, 2), (0, 1)][axis]
+    m[a, a] = c
+    m[b, b] = c
+    m[a, b] = -s if axis != 1 else s
+    m[b, a] = s if axis != 1 else -s
+    return m
+
+
+class Random3AxisRotation:
+    """Random rotation about each axis within per-axis degree bounds,
+    composed in random order (ref Random3AxisRotation, features.py:30-79)."""
+
+    def __init__(self, rot_x: float = 0.0, rot_y: float = 0.0,
+                 rot_z: float = 0.0, apply_rotation: bool = True):
+        if apply_rotation and not (rot_x or rot_y or rot_z):
+            raise ValueError("at least one rot_* must be set")
+        self.limits = [abs(rot_x or 0.0), abs(rot_y or 0.0), abs(rot_z or 0.0)]
+        self.apply_rotation = apply_rotation
+
+    def __call__(self, cloud, rng):
+        if not self.apply_rotation:
+            return cloud
+        mats = []
+        for axis, deg in enumerate(self.limits):
+            if deg > 0:
+                theta = np.deg2rad(rng.uniform(-deg, deg))
+                mats.append(_rot_axis(axis, theta))
+        order = rng.permutation(len(mats))
+        r = np.eye(3, dtype=np.float32)
+        for i in order:
+            r = mats[i] @ r
+        out = dict(cloud)
+        out["pos"] = (cloud["pos"] @ r.T).astype(np.float32)
+        if cloud.get("normal") is not None:
+            out["normal"] = (cloud["normal"] @ r.T).astype(np.float32)
+        return out
+
+
+class RandomCoordsFlip:
+    """Flip positions along each non-ignored axis with probability ``p``
+    (ref RandomCoordsFlip, sparse_transforms.py:24-55: coord -> max - coord)."""
+
+    def __init__(self, ignored_axis: str = "z", p: float = 0.95):
+        mapping = {"x": 0, "y": 1, "z": 2}
+        ignored = {mapping[a] for a in ignored_axis}
+        self.axes = sorted(set(range(3)) - ignored)
+        self.p = p
+
+    def __call__(self, cloud, rng):
+        out = dict(cloud)
+        pos = np.array(cloud["pos"], np.float32)
+        for ax in self.axes:
+            if rng.random() < self.p:
+                pos[:, ax] = pos[:, ax].max() - pos[:, ax]
+        out["pos"] = pos
+        return out
+
+
+class NormalizeRGB:
+    """Scale rgb to [0, 1] when it still looks like bytes
+    (ref NormalizeRGB, feature_augment.py:7-22)."""
+
+    def __call__(self, cloud, rng=None):
+        rgb = cloud.get("rgb")
+        if rgb is None:
+            return cloud
+        out = dict(cloud)
+        rgb = np.asarray(rgb, np.float32)
+        if rgb.max() > 1.0 or rgb.min() < 0.0:
+            rgb = rgb / 255.0
+        out["rgb"] = rgb
+        return out
+
+
+class NormalizeFeature:
+    """Min-max scale (or standardize) one named per-point array
+    (ref NormalizeFeature, precollate.py:3-24)."""
+
+    def __init__(self, feature_name: str, standardize: bool = False):
+        self.feature_name = feature_name
+        self.standardize = standardize
+
+    def __call__(self, cloud, rng=None):
+        v = np.asarray(cloud[self.feature_name], np.float32)
+        if self.standardize:
+            v = (v - v.mean()) / max(v.std(), 1e-12)
+        else:
+            v = (v - v.min()) / max(v.max() - v.min(), 1e-12)
+        out = dict(cloud)
+        out[self.feature_name] = v
+        return out
+
+
+class ScalePos:
+    """Multiply positions by a constant (ref ScalePos, transforms.py:513)."""
+
+    def __init__(self, scale: float = 1.0):
+        self.scale = scale
+
+    def __call__(self, cloud, rng=None):
+        out = dict(cloud)
+        out["pos"] = np.asarray(cloud["pos"], np.float32) * self.scale
+        return out
+
+
+class RemoveAttributes:
+    """Drop named keys from the cloud (ref RemoveAttributes,
+    transforms.py:31-55; strict=True raises on absent keys)."""
+
+    def __init__(self, attr_names: Sequence[str], strict: bool = False):
+        self.attr_names = list(attr_names)
+        self.strict = strict
+
+    def __call__(self, cloud, rng=None):
+        out = dict(cloud)
+        for k in self.attr_names:
+            if k in out:
+                del out[k]
+            elif self.strict:
+                raise KeyError(k)
+        return out
+
+
+class AddFeatByKey:
+    """Append one named array to ``feats`` (ref AddFeatByKey,
+    features.py:200 — the singular form of AddFeatsByKeys)."""
+
+    def __init__(self, feat_name: str, add_to_x: bool = True):
+        self.feat_name = feat_name
+        self.add_to_x = add_to_x
+
+    def __call__(self, cloud, rng=None):
+        if not self.add_to_x:
+            return cloud
+        v = np.asarray(cloud[self.feat_name], np.float32)
+        v = v[:, None] if v.ndim == 1 else v
+        out = dict(cloud)
+        base = cloud.get("feats")
+        out["feats"] = v if base is None else np.concatenate(
+            [np.asarray(base, np.float32), v], axis=1)
+        return out
+
+
+class LotteryTransform:
+    """Apply one transform drawn uniformly from a list per call
+    (ref LotteryTransform, data_transform/__init__.py:104)."""
+
+    def __init__(self, transform_options: Sequence):
+        self.transforms = list(transform_options)
+
+    def __call__(self, cloud, rng):
+        t = self.transforms[int(rng.integers(len(self.transforms)))]
+        return t(cloud, rng)
+
+
+class RandomParamTransform:
+    """Instantiate a transform with freshly drawn random parameters each
+    call (ref RandomParamTransform, data_transform/__init__.py:167): params
+    are ``{name: {"min": a, "max": b, "type": "float"|"int"}}`` or
+    ``{name: {"value": v}}``."""
+
+    def __init__(self, transform_cls, transform_params: dict):
+        self.cls = transform_cls
+        self.params = dict(transform_params)
+
+    def __call__(self, cloud, rng):
+        kw = {}
+        for name, spec in self.params.items():
+            if "value" in spec:
+                kw[name] = spec["value"]
+            elif spec.get("type") == "int":
+                kw[name] = int(rng.integers(spec["min"], spec["max"] + 1))
+            else:
+                kw[name] = float(rng.uniform(spec["min"], spec["max"]))
+        return self.cls(**kw)(cloud, rng)
+
+
+class IrregularSampling:
+    """Soft crop: keep points with probability exp(-|p - c|^p / 2 sigma^2),
+    sigma derived so the keep-probability halves at ``d_half``
+    (ref IrregularSampling, transforms.py:1064-1093)."""
+
+    def __init__(self, d_half: float = 2.5, p: float = 2.0):
+        self.d_half = d_half
+        self.p = p
+
+    def __call__(self, cloud, rng):
+        pos = np.asarray(cloud["pos"], np.float32)
+        center = pos[int(rng.integers(len(pos)))]
+        d_p = (np.abs(pos - center) ** self.p).sum(1)
+        sigma2 = (self.d_half ** self.p) / (2 * np.log(2))
+        keep = rng.random(len(pos)) < np.exp(-d_p / (2 * sigma2))
+        if not keep.any():
+            keep[int(rng.integers(len(pos)))] = True
+        return select_rows(cloud, np.nonzero(keep)[0])
+
+
+class CylinderNormalizeScale:
+    """Center then scale xy (and optionally z) into [-1, 1]
+    (ref CylinderNormalizeScale, transforms.py:435-459)."""
+
+    def __init__(self, normalize_z: bool = True):
+        self.normalize_z = normalize_z
+
+    def __call__(self, cloud, rng=None):
+        out = dict(cloud)
+        pos = np.array(cloud["pos"], np.float32)
+        pos -= pos.mean(0, keepdims=True)
+        pos[:, :2] *= 0.999999 / max(np.abs(pos[:, :2]).max(), 1e-12)
+        if self.normalize_z:
+            pos[:, 2] *= 0.999999 / max(np.abs(pos[:, 2]).max(), 1e-12)
+        out["pos"] = pos
+        return out
+
+
+def planarity_filter(cloud, thresh: float = 0.3, is_leq: bool = True) -> bool:
+    """True if the cloud passes the planarity gate (ref PlanarityFilter,
+    filters.py:38-63): planarity = (l2 - l3) / l1 of the global PCA."""
+    pos = np.asarray(cloud["pos"], np.float64)
+    centered = pos - pos.mean(0, keepdims=True)
+    cov = centered.T @ centered / max(len(pos), 1)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    planarity = (evals[1] - evals[2]) / max(evals[0], 1e-12)
+    return bool(planarity <= thresh) if is_leq else bool(planarity > thresh)

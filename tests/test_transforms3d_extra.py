@@ -107,3 +107,76 @@ def test_feature_composition(cloud, rng):
     assert (c["feats"][:, 4] == 1).all()
     with pytest.raises(KeyError):
         t3.AddFeatsByKeys(["nope"])(cloud)
+
+
+def test_round2_parity_transforms(rng):
+    import numpy as np
+    from deepviewagg_tpu.data import transforms3d as T
+
+    n = 200
+    cloud = {
+        "pos": rng.normal(size=(n, 3)).astype(np.float32) * 3,
+        "rgb": (rng.random((n, 3)) * 255).astype(np.float32),
+        "labels": rng.integers(0, 4, n).astype(np.int32),
+        "normal": np.tile(np.float32([0, 0, 1]), (n, 1)),
+    }
+    # 3-axis rotation preserves norms and rotates normals
+    out = T.Random3AxisRotation(rot_x=10, rot_y=10, rot_z=180)(cloud, rng)
+    np.testing.assert_allclose(
+        np.linalg.norm(out["pos"], axis=1),
+        np.linalg.norm(cloud["pos"], axis=1), rtol=1e-5)
+    assert not np.allclose(out["normal"], cloud["normal"])
+
+    out = T.RandomCoordsFlip(ignored_axis="z", p=1.0)(cloud, rng)
+    np.testing.assert_allclose(out["pos"][:, 0],
+                               cloud["pos"][:, 0].max() - cloud["pos"][:, 0],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(out["pos"][:, 2], cloud["pos"][:, 2])
+
+    out = T.NormalizeRGB()(cloud)
+    assert out["rgb"].max() <= 1.0 and out["rgb"].min() >= 0.0
+    # already-normalized rgb is left alone
+    again = T.NormalizeRGB()(out)
+    np.testing.assert_array_equal(again["rgb"], out["rgb"])
+
+    out = T.NormalizeFeature("rgb")(cloud)
+    assert out["rgb"].min() == 0.0 and abs(out["rgb"].max() - 1.0) < 1e-6
+    out = T.NormalizeFeature("rgb", standardize=True)(cloud)
+    assert abs(out["rgb"].mean()) < 1e-5
+
+    out = T.ScalePos(2.0)(cloud)
+    np.testing.assert_allclose(out["pos"], cloud["pos"] * 2.0)
+
+    out = T.RemoveAttributes(["rgb", "nope"])(cloud)
+    assert "rgb" not in out and "pos" in out
+    try:
+        T.RemoveAttributes(["nope"], strict=True)(cloud)
+        assert False, "strict must raise"
+    except KeyError:
+        pass
+
+    out = T.AddFeatByKey("rgb")(dict(cloud, feats=cloud["pos"]))
+    assert out["feats"].shape == (n, 6)
+
+    out = T.LotteryTransform([T.ScalePos(2.0), T.ScalePos(2.0)])(cloud, rng)
+    np.testing.assert_allclose(out["pos"], cloud["pos"] * 2.0)
+
+    out = T.RandomParamTransform(
+        T.ScalePos, {"scale": {"min": 1.5, "max": 1.5}})(cloud, rng)
+    np.testing.assert_allclose(out["pos"], cloud["pos"] * 1.5)
+
+    out = T.IrregularSampling(d_half=1.0)(cloud, rng)
+    assert 0 < len(out["pos"]) <= n
+    assert len(out["labels"]) == len(out["pos"])
+
+    out = T.CylinderNormalizeScale()(cloud)
+    assert np.abs(out["pos"][:, :2]).max() <= 1.0
+    assert np.abs(out["pos"][:, 2]).max() <= 1.0
+
+    flat = {"pos": np.concatenate(
+        [rng.normal(size=(n, 2)).astype(np.float32) * 3,
+         rng.normal(size=(n, 1)).astype(np.float32) * 0.01], axis=1)}
+    assert not T.planarity_filter(flat, thresh=0.3)          # planar -> fails leq
+    assert T.planarity_filter(flat, thresh=0.3, is_leq=False)
+    blob = {"pos": rng.normal(size=(n, 3)).astype(np.float32)}
+    assert T.planarity_filter(blob, thresh=0.3)
