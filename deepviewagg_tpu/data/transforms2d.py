@@ -41,6 +41,8 @@ __all__ = [
     "drop_images_outside_bbox",
     "pick_k_images",
     "grid_sample_images",
+    "add_pixel_height_feature",
+    "add_pixel_width_feature",
 ]
 
 
@@ -517,3 +519,29 @@ def grid_sample_images(cloud: dict, size: float) -> dict:
     _, first_rev = np.unique(cells[::-1], axis=0, return_index=True)
     keep = np.sort(len(cells) - 1 - first_rev)
     return _select_cloud_images(cloud, keep)
+
+
+def add_pixel_height_feature(images: np.ndarray) -> np.ndarray:
+    """Append a [0, 1] row-coordinate channel (ref AddPixelHeightFeature,
+    image.py:1163-1176).  Images are [I, W, H, C]; "height" is the H axis.
+    (The reference's PadImages, image.py:1153, is an empty stub — not
+    replicated.)"""
+    img = np.asarray(images, np.float32)
+    i, w, h, _ = img.shape
+    feat = np.broadcast_to(
+        np.linspace(0.0, 1.0, h, dtype=np.float32)[None, None, :, None],
+        (i, w, h, 1),
+    )
+    return np.concatenate([img, feat], axis=3)
+
+
+def add_pixel_width_feature(images: np.ndarray) -> np.ndarray:
+    """Append a [0, 1] column-coordinate channel (ref AddPixelWidthFeature,
+    image.py:1179-1192)."""
+    img = np.asarray(images, np.float32)
+    i, w, h, _ = img.shape
+    feat = np.broadcast_to(
+        np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :, None, None],
+        (i, w, h, 1),
+    )
+    return np.concatenate([img, feat], axis=3)

@@ -124,3 +124,18 @@ def test_grid_sample_images_keeps_last_per_cell():
     assert out["mapping"].num_images == 3
     kept = out["images"][:, 0, 0, 0].tolist()
     assert kept == [1, 2, 3]   # image 1 is the LAST of the shared cell
+
+
+def test_pixel_coordinate_features(rng):
+    import numpy as np
+    from deepviewagg_tpu.data.transforms2d import (
+        add_pixel_height_feature, add_pixel_width_feature)
+
+    imgs = rng.random((2, 8, 6, 3)).astype(np.float32)
+    out = add_pixel_height_feature(imgs)
+    assert out.shape == (2, 8, 6, 4)
+    np.testing.assert_allclose(out[0, 0, :, 3], np.linspace(0, 1, 6), rtol=1e-6)
+    np.testing.assert_array_equal(out[..., :3], imgs)
+    out = add_pixel_width_feature(imgs)
+    assert out.shape == (2, 8, 6, 4)
+    np.testing.assert_allclose(out[1, :, 0, 3], np.linspace(0, 1, 8), rtol=1e-6)
