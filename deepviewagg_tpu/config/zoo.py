@@ -150,6 +150,13 @@ def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
     (models/model_factory.py:8-46)."""
     entry = MODEL_ZOO.get(name) or parse_model_name(name)
     if entry is None:
+        # any Res16UNet preset name is a valid bare 3D-only backbone
+        # (Res16UNet50/101, letter variants, the SE family, the test net)
+        from ..nn.res16unet import RES16_PRESETS
+
+        if name in RES16_PRESETS:
+            entry = {"backbone": name}
+    if entry is None:
         raise KeyError(
             f"unknown model '{name}'; known: {sorted(MODEL_ZOO)} or grammar "
             "'<Backbone>-L<k>-<early|intermediateN>[-<pool>][-<tower>][-interpolate]'"
