@@ -72,7 +72,7 @@ def collate(
     samples: List[Sample],
     bucket: Bucket,
     branch_levels: Sequence[int] = (),
-    conv0_kernel: int = 5,
+    conv0_kernel: int = 3,
 ) -> Dict:
     """Build the device batch pytree (everything numpy, jit transfers it)."""
     assert len(samples) <= bucket.num_batches

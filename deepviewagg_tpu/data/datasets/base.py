@@ -203,6 +203,24 @@ class SphereDataset:
         # ColorJitter -> flip -> ToFloatImage -> Normalize)
         needs_normalize = (sub.get("images") is not None
                            and sub["images"].dtype == np.uint8)
+        # radiometric augments are defined on raw [0,255]/[0,1] images only;
+        # a float cache that stored ImageNet-NORMALIZED stacks (negative
+        # values / max>1.5) must skip them or they corrupt to near-black
+        imgs0 = sub.get("images")
+        radiometric_ok = imgs0 is not None and (
+            imgs0.dtype == np.uint8
+            or (float(imgs0.min(initial=0.0)) >= -0.01
+                and float(imgs0.max(initial=0.0)) <= 1.5)
+        )
+        if (imgs0 is not None and not radiometric_ok and self.train
+                and (self.color_jitter is not None or self.blur_p > 0)
+                and not getattr(self, "_warned_normalized_cache", False)):
+            import sys
+
+            print("[dataset] images are cached pre-normalized: skipping "
+                  "color_jitter/gaussian_blur (re-preprocess with the uint8 "
+                  "cache to enable them)", file=sys.stderr)
+            self._warned_normalized_cache = True
         if sub.get("mapping") is not None:
             sub = transforms2d.pick_images_by_area(
                 sub, min_points=self.min_points_per_image
@@ -223,11 +241,13 @@ class SphereDataset:
                     sub = transforms2d.jitter_mapping_features(
                         sub, sigma=self.jitter_mapping, rng=self._rng
                     )
-                if self.color_jitter is not None and sub.get("images") is not None:
+                if (self.color_jitter is not None and radiometric_ok
+                        and sub.get("images") is not None):
                     sub["images"] = transforms2d.color_jitter(
                         sub["images"], self._rng, *self.color_jitter
                     )
-                if self.blur_p > 0 and sub.get("images") is not None \
+                if self.blur_p > 0 and radiometric_ok \
+                        and sub.get("images") is not None \
                         and self._rng.uniform() < self.blur_p:
                     sub["images"] = transforms2d.gaussian_blur(
                         sub["images"], self._rng
@@ -268,7 +288,7 @@ class BatchLoader:
     def __init__(self, dataset, bucket: Bucket, batch_size: int,
                  branch_levels: Sequence[int] = (), shuffle: bool = True,
                  seed: int = 0, drop_last: bool = False,
-                 conv0_kernel: int = 5):
+                 conv0_kernel: int = 3):
         self.dataset = dataset
         self.bucket = bucket
         self.batch_size = batch_size

@@ -248,6 +248,36 @@ class MultiViewMapping:
             num_images=len(keep),
         )
 
+    def drop_pixels(self, keep: np.ndarray) -> "MultiViewMapping":
+        """Invalidate the pixels where ``keep`` is False and restore the
+        invariants: views that lose every pixel become invalid (every valid
+        view owns >= 1 pixel), and both tables re-sort so valid rows are
+        sorted contiguous prefixes.  The single home of this dance — static
+        masks, visibility edits and future pixel filters all route here."""
+        vc = self.view_capacity
+        ok = self.pix_valid & np.asarray(keep, bool)
+        owned = np.zeros(vc + 1, np.int64)
+        np.add.at(owned, np.minimum(self.pix_view, vc), ok.astype(np.int64))
+        view_valid = self.view_valid & (owned[:vc] > 0)
+        pid = np.where(view_valid, self.point_id, self.num_points)
+        order = np.argsort(pid, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        pix_ok = ok & view_valid[np.minimum(self.pix_view, vc - 1)]
+        new_pv = np.where(pix_ok, inv[np.minimum(self.pix_view, vc - 1)], vc)
+        pix_order = np.argsort(new_pv, kind="stable")
+        return dataclasses.replace(
+            self,
+            point_id=pid[order].astype(np.int32),
+            image_id=self.image_id[order],
+            view_feats=self.view_feats[order],
+            view_valid=view_valid[order],
+            pix_view=new_pv[pix_order].astype(np.int32),
+            pix_x=self.pix_x[pix_order],
+            pix_y=self.pix_y[pix_order],
+            pix_valid=pix_ok[pix_order],
+        )
+
     def points_seen(self) -> np.ndarray:
         """bool [num_points]: which points have at least one valid view."""
         seen = np.zeros(self.num_points + 1, bool)

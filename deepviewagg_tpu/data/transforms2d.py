@@ -83,16 +83,31 @@ def select_images_by_coverage(m: MultiViewMapping, n: int) -> np.ndarray:
     if m.num_images <= n:
         return np.arange(m.num_images)
     v = m.view_valid
-    img_of_view = m.image_id[v]
-    pid_of_view = m.point_id[v]
+    img_of_view = m.image_id[v].astype(np.int64)
+    pid_of_view = m.point_id[v].astype(np.int64)
     totals = np.bincount(img_of_view, minlength=m.num_images).astype(np.int64)
 
+    # incremental greedy max-coverage: each view row is decremented from the
+    # gain table exactly once (when its point first becomes covered), so the
+    # whole selection is O(V + n * num_images) instead of O(n * V)
+    by_img = np.argsort(img_of_view, kind="stable")
+    img_ptr = np.searchsorted(img_of_view[by_img], np.arange(m.num_images + 1))
+    by_pid = np.argsort(pid_of_view, kind="stable")
+    pid_ptr = np.searchsorted(pid_of_view[by_pid], np.arange(m.num_points + 1))
+
+    def _ragged_take(order, ptr, keys):
+        starts, lengths = ptr[keys], ptr[keys + 1] - ptr[keys]
+        total = int(lengths.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        offs = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        return order[np.repeat(starts, lengths) + np.arange(total) - offs]
+
+    gain = np.bincount(img_of_view, minlength=m.num_images).astype(np.int64)
     unseen = np.ones(m.num_points, bool)
     remaining = np.ones(m.num_images, bool)
     picked = []
     for _ in range(n):
-        gain = np.zeros(m.num_images, np.int64)
-        np.add.at(gain, img_of_view, unseen[pid_of_view])
         # lexicographic argmax (gain, totals, -index) over remaining images
         score = np.where(remaining, gain * (totals.max() + 1) + totals, -1)
         choice = int(np.argmax(score))
@@ -100,7 +115,12 @@ def select_images_by_coverage(m: MultiViewMapping, n: int) -> np.ndarray:
             break
         picked.append(choice)
         remaining[choice] = False
-        unseen[pid_of_view[img_of_view == choice]] = False
+        pids = pid_of_view[_ragged_take(by_img, img_ptr, np.array([choice]))]
+        new = np.unique(pids[unseen[pids]])
+        unseen[new] = False
+        if len(new):
+            aff = _ragged_take(by_pid, pid_ptr, new)
+            np.subtract.at(gain, img_of_view[aff], 1)
     return np.sort(np.asarray(picked, np.int64))
 
 
@@ -322,6 +342,13 @@ def normalize_images(
 
 def _to_unit_float(images: np.ndarray) -> np.ndarray:
     img = np.asarray(images, np.float32)
+    if img.size and img.min() < -0.01:
+        # ImageNet-normalized stacks reach here only through a caller bug —
+        # dividing them by 255 silently collapses them to near-black
+        raise ValueError(
+            "radiometric transform applied to already-normalized images "
+            "(negative values present); apply it before normalize_images"
+        )
     if np.issubdtype(np.asarray(images).dtype, np.integer) or (
         img.size and img.max() > 1.5
     ):
@@ -424,36 +451,11 @@ def mask_mapping_pixels(cloud: dict, mask: np.ndarray) -> dict:
     """Invalidate mapping pixels falling on masked-out (static) pixels —
     the consumption side of :func:`non_static_mask` (the reference bakes the
     mask into projection, image.py:158)."""
-    import dataclasses
-
     m: MultiViewMapping = cloud["mapping"]
-    vc = m.view_capacity
-    ok = m.pix_valid & mask[np.clip(m.pix_x, 0, mask.shape[0] - 1),
-                            np.clip(m.pix_y, 0, mask.shape[1] - 1)]
-    # views that lose every pixel become invalid (the contract: every valid
-    # view owns >= 1 pixel); views/pixels re-sort to contiguous prefixes
-    owned = np.zeros(vc + 1, np.int64)
-    np.add.at(owned, np.minimum(m.pix_view, vc), ok.astype(np.int64))
-    view_valid = m.view_valid & (owned[:vc] > 0)
-    pid = np.where(view_valid, m.point_id, m.num_points)
-    order = np.argsort(pid, kind="stable")
-    inv = np.empty_like(order)
-    inv[order] = np.arange(len(order))
-    pix_ok = ok & view_valid[np.minimum(m.pix_view, vc - 1)]
-    new_pv = np.where(pix_ok, inv[np.minimum(m.pix_view, vc - 1)], vc)
-    pix_order = np.argsort(new_pv, kind="stable")
+    keep = mask[np.clip(m.pix_x, 0, mask.shape[0] - 1),
+                np.clip(m.pix_y, 0, mask.shape[1] - 1)]
     out = dict(cloud)
-    out["mapping"] = dataclasses.replace(
-        m,
-        point_id=pid[order].astype(np.int32),
-        image_id=m.image_id[order],
-        view_feats=m.view_feats[order],
-        view_valid=view_valid[order],
-        pix_view=new_pv[pix_order].astype(np.int32),
-        pix_x=m.pix_x[pix_order],
-        pix_y=m.pix_y[pix_order],
-        pix_valid=pix_ok[pix_order],
-    )
+    out["mapping"] = m.drop_pixels(keep)
     return out
 
 

@@ -397,16 +397,18 @@ class ShuffleData:
     any file-order correlation before capacity-cropped batching."""
 
     def __call__(self, cloud, rng):
-        order = rng.permutation(len(cloud["pos"]))
-        # select_rows requires sorted indices for the mapping path; shuffle
-        # the non-mapping arrays only when a mapping is present
-        if cloud.get("mapping") is not None:
-            return cloud
-        out = dict(cloud)
         n = len(cloud["pos"])
+        order = rng.permutation(n)
+        out = dict(cloud)
         for k, v in cloud.items():
             if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
                 out[k] = v[order]
+        if cloud.get("mapping") is not None:
+            # point i moves to row inv[i]; merge_points with the inverse
+            # permutation remaps view point-ids and re-sorts the tables
+            inv = np.empty(n, np.int64)
+            inv[order] = np.arange(n)
+            out["mapping"] = cloud["mapping"].merge_points(inv, n)
         return out
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MaskedBatchNorm", "MaskedGroupNorm", "bn_axis_name", "bn_momentum"]
+__all__ = ["MaskedBatchNorm", "bn_axis_name", "bn_momentum"]
 
 # Trainer-scoped default axis name for cross-device (sync) batch norm inside
 # ``shard_map`` — set during step tracing so every MaskedBatchNorm in the
@@ -111,41 +111,7 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-class MaskedGroupNorm(nn.Module):
-    """GroupNorm matching torch semantics on dense inputs, per-row on
-    sparse point tensors.
-
-    Image inputs ``[N, W, H, C]`` normalize each sample over
-    ``(W, H, C/g)`` per group — identical to ``torch.nn.GroupNorm`` (the
-    reference's from-scratch towers use GN+WS,
-    modules/multimodal/modalities/image.py:53-126; flax ``nn.GroupNorm``
-    is used on that path).  Point tensors ``[P, C]`` normalize per ROW over
-    ``C/g`` — a deliberate divergence: rows are capacity-padded and a batch
-    reduction would mix padding into the statistics.
-    """
-
-    num_groups: int = 32
-    epsilon: float = 1e-5
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        g = min(self.num_groups, c)
-        while c % g:
-            g -= 1
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        shape = x.shape[:-1] + (g, c // g)
-        xg = xf.reshape(shape)
-        if x.ndim >= 3:
-            # dense [N, spatial..., C]: reduce over spatial axes + C/g
-            axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        else:
-            axes = (-1,)
-        mean = xg.mean(axis=axes, keepdims=True)
-        var = xg.var(axis=axes, keepdims=True)
-        y = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y.reshape(x.shape) * scale + bias
-        return y.astype(self.dtype)
+# NOTE: the dense image towers use flax ``nn.GroupNorm`` directly
+# (modules/image_encoders.py) — torch-identical on dense [N, W, H, C]
+# inputs, so no masked variant is needed there; sparse point paths use
+# MaskedBatchNorm above.

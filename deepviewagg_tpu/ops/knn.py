@@ -100,6 +100,9 @@ def dilated_knn(query, points, k: int, dilation: int, valid=None,
         return knn(query, points, k, valid=valid, block=block)
     d, i = knn(query, points, k * dilation, valid=valid, block=block)
     rng = rng or np.random.default_rng(0)
-    pick = rng.integers(0, k * dilation, size=(len(i), k))
+    # a WITHOUT-replacement pick per row (the reference takes a random
+    # permutation slice): per-row random keys -> argpartition of k smallest
+    keys = rng.random((len(i), k * dilation))
+    pick = np.argpartition(keys, k - 1, axis=1)[:, :k]
     rows = np.arange(len(i))[:, None]
     return np.asarray(d)[rows, pick], np.asarray(i)[rows, pick]

@@ -51,6 +51,9 @@ class TrainerConfig:
     profile_epochs: tuple = ()               # epochs to capture jax traces
     class_weights: Optional[tuple] = None    # per-class CE weights
     visualize_every: int = 0                 # epochs between sample dumps
+    tensorboard: bool = True
+    wandb: bool = False
+    wandb_project: Optional[str] = None
     # BN momentum schedule {epoch: momentum} — the reference's bn_scheduler
     # (core/schedulers/bn_schedulers.py); each change costs one retrace
     bn_momentum_milestones: Optional[Dict[int, float]] = None

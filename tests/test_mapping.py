@@ -93,3 +93,66 @@ def test_pad_roundtrip(scene_and_mapping):
     p.check()
     assert p.num_views == m.num_views
     assert p.num_pixels == m.num_pixels
+
+
+def test_shuffle_data_remaps_mapping(scene_and_mapping):
+    # ShuffleData must shuffle point rows AND remap the mapping (it used to
+    # silently no-op whenever a mapping was present)
+    from deepviewagg_tpu.data.transforms3d import ShuffleData
+
+    scene, mapping = scene_and_mapping
+    n = len(scene.pos)
+    cloud = {"pos": scene.pos.copy(),
+             "labels": np.arange(n, dtype=np.int32),
+             "mapping": mapping}
+    rng = np.random.default_rng(3)
+    out = ShuffleData()(cloud, rng)
+    assert not np.array_equal(out["pos"], cloud["pos"])
+    out["mapping"].check()
+    # each point keeps its view count under the permutation
+    def counts(m, labels):
+        c = np.zeros(n, np.int64)
+        v = m.view_valid
+        np.add.at(c, labels[np.minimum(m.point_id, n - 1)[v]], 1)
+        return c
+
+    np.testing.assert_array_equal(
+        counts(cloud["mapping"], cloud["labels"]),
+        counts(out["mapping"], out["labels"]),
+    )
+
+
+def test_drop_pixels_restores_invariants(scene_and_mapping):
+    _, mapping = scene_and_mapping
+    rng = np.random.default_rng(5)
+    keep = rng.random(mapping.pixel_capacity) > 0.5
+    out = mapping.drop_pixels(keep)
+    out.check()
+    assert out.num_pixels <= int((keep & mapping.pix_valid).sum())
+
+
+def test_coverage_selection_incremental_matches_naive(scene_and_mapping):
+    # the incremental greedy must pick exactly what the O(n*V) version did
+    from deepviewagg_tpu.data.transforms2d import select_images_by_coverage
+
+    _, mapping = scene_and_mapping
+    m = mapping
+    v = m.view_valid
+    img_of_view = m.image_id[v].astype(np.int64)
+    pid_of_view = m.point_id[v].astype(np.int64)
+    totals = np.bincount(img_of_view, minlength=m.num_images).astype(np.int64)
+    unseen = np.ones(m.num_points, bool)
+    remaining = np.ones(m.num_images, bool)
+    naive = []
+    for _ in range(max(m.num_images - 1, 1)):
+        gain = np.zeros(m.num_images, np.int64)
+        np.add.at(gain, img_of_view, unseen[pid_of_view])
+        score = np.where(remaining, gain * (totals.max() + 1) + totals, -1)
+        choice = int(np.argmax(score))
+        if score[choice] < 0:
+            break
+        naive.append(choice)
+        remaining[choice] = False
+        unseen[pid_of_view[img_of_view == choice]] = False
+    got = select_images_by_coverage(m, max(m.num_images - 1, 1))
+    np.testing.assert_array_equal(np.sort(naive), got)

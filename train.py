@@ -218,6 +218,9 @@ def main(argv=None):
         num_batches_cap=cfg.training.num_batches_cap
         if not cfg.training.early_break else 2,
         data_parallel=cfg.training.data_parallel,
+        tensorboard=cfg.training.tensorboard,
+        wandb=cfg.training.wandb,
+        wandb_project=cfg.training.wandb_project,
     )
     def chunk_per_device(loader):
         """data_parallel contract: each step consumes one bucket-shaped
@@ -230,15 +233,24 @@ def main(argv=None):
 
         def gen():
             buf = []
-            dropped = 0
+            yielded = 0
             for b in loader:
                 buf.append(b)
                 if len(buf) == n:
                     yield buf
+                    yielded += 1
                     buf = []
             if buf:
-                dropped = len(buf)
-                print(f"data_parallel: dropped {dropped} trailing "
+                if yielded == 0:
+                    # an epoch smaller than the device count would silently
+                    # train ZERO steps under drop_last — that is a config
+                    # error, not a remainder
+                    raise ValueError(
+                        f"data_parallel epoch produced {len(buf)} batch(es) "
+                        f"for {n} devices — raise data.samples_per_epoch or "
+                        f"shrink the mesh"
+                    )
+                print(f"data_parallel: dropped {len(buf)} trailing "
                       f"batch(es) short of the {n}-device step")
         return gen()
 
@@ -255,6 +267,11 @@ def main(argv=None):
         make_train = lambda: iter(train_loader)                    # noqa: E731
         make_val = lambda: iter(val_loader)                        # noqa: E731
 
+    # pin the resolved stem kernel into the stored run config so restoring
+    # this checkpoint can never rebuild a different stem shape even if the
+    # zoo default changes again (it moved 5 -> 3 to match the reference's
+    # multimodal configs)
+    cfg.model.overrides.setdefault("stem_kernel", spec.stem_kernel)
     trainer = Trainer(model, num_classes, tcfg, example_batch=example,
                       seed=cfg.training.seed, run_config=cfg.to_dict(),
                       variables_hook=variables_hook)
