@@ -21,22 +21,33 @@ __all__ = ["MODEL_ZOO", "get_model_spec", "parse_model_name"]
 
 # published/benchmark names -> canonical definitions (README.md:104-108)
 _NAMED = {
-    # S3DIS / ScanNet flagship
+    # S3DIS / ScanNet flagship. Faithful to the published YAML
+    # (multimodal/sparseconv3d.yaml:6622-6672): the 512-d Layer4 tower
+    # features are attention-pooled with num_groups=4 (use_mod=False,
+    # DeepSetFeat) and CONCATENATED with the raw point features before the
+    # stem — not residually added.
     "Res16UNet34-L4-early": dict(
         backbone="Res16UNet34",
-        branches=[dict(level=0, tower="resnet18_l4", view_pool="group",
-                       num_groups=8, fusion_mode="residual", interpolate=True)],
+        branches=[dict(level=0, tower="resnet18_l4", out_channels=512,
+                       view_pool="group", num_groups=4,
+                       fusion_mode="concat", interpolate=True)],
     ),
     "Res16UNet34-L4-early-ade20k-interpolate": dict(
         backbone="Res16UNet34",
-        branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
-                       num_groups=8, fusion_mode="residual", interpolate=True)],
+        branches=[dict(level=0, tower="resnet18_l4", out_channels=512,
+                       view_pool="group", num_groups=4,
+                       fusion_mode="concat", interpolate=True)],
     ),
-    # KITTI-360 flagship: pyramid of 2D taps fused early
+    # KITTI-360 flagship (yaml:7275-7352): the reference runs FIVE branches
+    # (Cityscapes Layer0..4 truncations, pooled to 32/32/64/128/256 and all
+    # concatenated at level 0, summing to +512). Here one pyramid tower
+    # serves every scale from a single gather (modules/image_encoders.py
+    # ResNet18Pyramid) with one group-4 attention pool to the same +512.
     "Res16UNet34-PointPyramid-early-cityscapes-interpolate": dict(
         backbone="Res16UNet34",
-        branches=[dict(level=0, tower="resnet18_pyramid", view_pool="group",
-                       num_groups=8, fusion_mode="residual", interpolate=True)],
+        branches=[dict(level=0, tower="resnet18_pyramid", out_channels=512,
+                       view_pool="group", num_groups=4,
+                       fusion_mode="concat", interpolate=True)],
     ),
     "Res16UNet34": dict(backbone="Res16UNet34", branches=[]),
     "Res16UNet18": dict(backbone="Res16UNet18", branches=[]),
@@ -101,7 +112,10 @@ def parse_model_name(name: str) -> Optional[dict]:
             groups = int(d["pool"][5:] or 1)
         else:
             pool, groups = _POOLS[d["pool"]]
-    tower = ("resnet18_ppm" if d["tower"] in ("ade20k", "cityscapes", "ppm")
+    # the pretrained-source token (ade20k/cityscapes/imagenet) selects the
+    # WEIGHTS (model.tower_weights), not the architecture: truncations stay
+    # resnet18_l<k>; only the explicit 'ppm' token picks the PPM-head tower
+    tower = ("resnet18_ppm" if d["tower"] == "ppm"
              else f"resnet18_l{tower_level}")
     return dict(
         backbone=d["bb"],

@@ -25,7 +25,7 @@ class BimodalFusion(nn.Module):
             if x_mod.shape[-1] != x_3d.shape[-1]:
                 x_mod = nn.Dense(x_3d.shape[-1], use_bias=False, name="proj")(x_mod)
             return x_3d + x_mod
-        if self.mode == "concatenation":
+        if self.mode in ("concatenation", "concat"):
             return jnp.concatenate([x_3d, x_mod], axis=-1)
         if self.mode == "both":
             if x_mod.shape[-1] != x_3d.shape[-1]:
