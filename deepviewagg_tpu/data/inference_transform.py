@@ -70,18 +70,15 @@ class ModelInference:
             import jax
 
             from ..train.checkpoint import CheckpointManager
-            from ..train.optimizers import make_optimizer, make_schedule
-            from ..train.step import TrainState
 
             variables = jax.jit(
                 self.model.init, static_argnames=("train",)
             )(jax.random.PRNGKey(0), example_batch, train=False)
-            tx = make_optimizer(make_schedule("constant", 0.1))
-            state = TrainState.create(variables, tx)
             ckpt = CheckpointManager(self.run_dir)
-            self._state = ckpt.restore_state(self.weight, state)
-        return {"params": self._state.params,
-                "batch_stats": self._state.batch_stats}
+            # params-only restore: the stored opt_state depends on training
+            # settings this transform neither knows nor needs
+            self._state = ckpt.restore_variables(self.weight, variables)
+        return self._state
 
     # -- forward ------------------------------------------------------------
     def __call__(self, cloud: dict, rng: Optional[np.random.Generator] = None):

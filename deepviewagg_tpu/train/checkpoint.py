@@ -64,6 +64,21 @@ class CheckpointManager:
             )
         return state.replace(**payload)
 
+    def restore_variables(self, key: str, variables: Dict) -> Dict:
+        """Restore only ``params``/``batch_stats`` against a template
+        variables dict — inference-time loading that is independent of the
+        optimizer the checkpoint was trained with (its opt_state pytree
+        changes with grad_clip/accumulation settings)."""
+        from flax import serialization as _ser
+
+        with open(self._path(key), "rb") as f:
+            raw = _ser.msgpack_restore(f.read())
+        out = dict(variables)
+        for part in ("params", "batch_stats"):
+            if part in raw and variables.get(part) is not None:
+                out[part] = _ser.from_state_dict(variables[part], raw[part])
+        return out
+
     def has(self, key: str) -> bool:
         return os.path.exists(self._path(key))
 
