@@ -39,7 +39,8 @@ def test_published_names_resolve():
 def test_grammar_parses():
     d = parse_model_name("Res16UNet34-L4-early-group8-ade20k-interpolate")
     b = d["branches"][0]
-    assert b["tower"] == "resnet18_ppm" and b["num_groups"] == 8
+    # ade20k selects WEIGHTS; the architecture stays the L4 truncation
+    assert b["tower"] == "resnet18_l4" and b["num_groups"] == 8
     assert b["interpolate"] and b["level"] == 0
     d2 = parse_model_name("Res16UNet18-L2-intermediate2-qkv")
     assert d2["branches"][0]["level"] == 2
