@@ -9,6 +9,9 @@ publishes no throughput numbers (BASELINE.md), so ``vs_baseline`` compares
 against this repo's own recorded round-1 numbers in ``bench_baseline.json``
 (train step 344k voxels/s, PERF.md methodology)."""
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import json
 import os
 import sys

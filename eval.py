@@ -9,6 +9,10 @@ trainer.py:165-258).  Voting: ``--voting_runs N`` repeats the eval pass
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import argparse
 import json
 import os

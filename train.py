@@ -12,6 +12,10 @@ Config groups (deepviewagg_tpu/config/run.py): model / data / training.
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import argparse
 import os
 import sys
