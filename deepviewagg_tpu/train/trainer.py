@@ -51,6 +51,7 @@ class TrainerConfig:
     profile_epochs: tuple = ()               # epochs to capture jax traces
     class_weights: Optional[tuple] = None    # per-class CE weights
     visualize_every: int = 0                 # epochs between sample dumps
+    nan_guard: bool = True        # abort + checkpoint on non-finite loss
     tensorboard: bool = True
     wandb: bool = False
     wandb_project: Optional[str] = None
@@ -186,6 +187,19 @@ class Trainer:
             )
             n += 1
             if i % self.cfg.track_every == 0:
+                if self.cfg.nan_guard:
+                    loss = float(np.asarray(metrics["loss"]).mean())
+                    if not np.isfinite(loss):
+                        # failure detection beyond the reference (SURVEY §5:
+                        # it has none): stop at the poisoned step with the
+                        # last good weights still checkpointed
+                        if self.checkpoint is not None:
+                            self.checkpoint.save_state("crash", self.state)
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {self.epoch} step {i}"
+                            " — state saved as 'crash'; lower the lr or"
+                            " enable grad_clip"
+                        )
                 self._track_train(tracker, batch, metrics)
         out = tracker.get_metrics()
         out["train_batches"] = n

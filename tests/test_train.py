@@ -67,3 +67,31 @@ def test_trainer_learns_and_checkpoints(tmp_path):
     tr2.state = restored
     m2 = tr2.eval_epoch([batch], "val")
     assert abs(m2["val_miou"] - metrics["val_miou"]) < 1e-3
+
+
+def test_nan_guard_aborts_and_checkpoints(tmp_path):
+    """Failure detection: a poisoned step must abort with a crash
+    checkpoint rather than silently training on NaNs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    spec = flagship_spec(backbone="Res16UNetTest", tower="resnet18_l1",
+                         num_groups=2)
+    batch, _, _ = toy_batch(n_samples=1, density=40.0,
+                            image_size=(64, 32), n_cameras=1)
+    model = MultimodalSeg(spec)
+    num_classes = spec.num_classes
+    cfg = TrainerConfig(epochs=1, run_dir=str(tmp_path), base_lr=0.1,
+                        track_every=1, log_fn=lambda s: None)
+    trainer = Trainer(model, num_classes, cfg, example_batch=batch)
+    # poison the parameters so the first tracked loss is NaN
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, jnp.nan), trainer.state.params
+        )
+    )
+    with pytest.raises(FloatingPointError):
+        trainer.train_epoch(iter([batch]))
+    assert trainer.checkpoint.has("crash")
