@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["Conv2dWS", "ResNet18", "PPM", "ResNet18PPM", "ResNet18Pyramid",
-           "OUT_CHANNELS"]
+           "PersistentDropout2d", "OUT_CHANNELS"]
 
 # channels of each tap level for ResNet18: stem, layer1..layer4
 OUT_CHANNELS = (64, 64, 128, 256, 512)
@@ -224,3 +224,25 @@ class ResNet18PPM(nn.Module):
     def __call__(self, x, train: bool = True):
         x = ResNet18(out_level=4, norm=self.norm, dilated8=True)(x, train)
         return PPM(self.out_channels, norm=self.norm)(x, train)
+
+
+class PersistentDropout2d(nn.Module):
+    """Channel dropout with ONE mask shared by every image in the batch
+    (ref ``PersistentDropout2d``, image.py:465-508: the torch version keeps
+    its mask across forward calls so all image sub-batches of a step drop
+    the same channels; here the whole image batch flows through one call,
+    so a single per-step mask over ``[1, 1, 1, C]`` gives the identical
+    semantics — inverted scaling like torch's Dropout2d)."""
+
+    p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if not train or self.p <= 0.0 or not self.has_rng("dropout"):
+            return x
+        import jax
+
+        keep = jax.random.bernoulli(
+            self.make_rng("dropout"), 1.0 - self.p, (1, 1, 1, x.shape[-1])
+        )
+        return jnp.where(keep, x / (1.0 - self.p), 0.0)

@@ -139,3 +139,26 @@ def test_pixel_coordinate_features(rng):
     out = add_pixel_width_feature(imgs)
     assert out.shape == (2, 8, 6, 4)
     np.testing.assert_allclose(out[1, :, 0, 3], np.linspace(0, 1, 8), rtol=1e-6)
+
+
+def test_persistent_dropout2d_shares_mask_across_images(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepviewagg_tpu.modules.image_encoders import PersistentDropout2d
+
+    x = jnp.ones((3, 4, 4, 16))
+    m = PersistentDropout2d(p=0.5)
+    out = m.apply({}, x, train=True,
+                  rngs={"dropout": jax.random.PRNGKey(0)})
+    out = np.asarray(out)
+    # one channel mask for every image and pixel
+    per_channel = out[0, 0, 0]
+    assert (out == per_channel[None, None, None, :]).all()
+    dropped = per_channel == 0
+    assert dropped.any() and not dropped.all()
+    np.testing.assert_allclose(per_channel[~dropped], 2.0)  # inverted scale
+    # eval mode = identity
+    out_eval = np.asarray(m.apply({}, x, train=False))
+    np.testing.assert_array_equal(out_eval, np.ones_like(out_eval))
