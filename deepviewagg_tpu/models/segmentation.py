@@ -99,6 +99,13 @@ def make_tower(name: str, norm: str = "group"):
         fac = functools.partial(towers.ResNet18, out_level=lvl, norm=norm,
                                 name="tower")
         return fac, towers.OUT_CHANNELS[lvl]
+    if name.startswith("unet2d"):
+        # light configurable 2D UNet (ref image.py:510; the no3d 'light'
+        # tower family); "unet2d" or "unet2d_<out_channels>"
+        out = int(name.split("_")[1]) if "_" in name else 32
+        fac = functools.partial(towers.UNet2D, out_channels=out, norm=norm,
+                                name="tower")
+        return fac, out
     raise KeyError(name)
 
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["Conv2dWS", "ResNet18", "PPM", "ResNet18PPM", "ResNet18Pyramid",
-           "PersistentDropout2d", "OUT_CHANNELS"]
+           "PersistentDropout2d", "UNet2D", "OUT_CHANNELS"]
 
 # channels of each tap level for ResNet18: stem, layer1..layer4
 OUT_CHANNELS = (64, 64, 128, 256, 512)
@@ -246,3 +246,42 @@ class PersistentDropout2d(nn.Module):
             self.make_rng("dropout"), 1.0 - self.p, (1, 1, 1, x.shape[-1])
         )
         return jnp.where(keep, x / (1.0 - self.p), 0.0)
+
+
+class UNet2D(nn.Module):
+    """Configurable 2D UNet tower (the reference's generic image ``UNet``,
+    image.py:510-657: ResNetDown stages, optional bottleneck innermost,
+    ResNetUp stages with skip concat — compact-format widths).  Returns a
+    feature map at input resolution; used by the no3d/light tower configs.
+    """
+
+    down_widths: tuple = (32, 64, 128)
+    up_widths: tuple = (64, 32)
+    out_channels: int = 32
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ws = self.norm == "group"
+        skips = []
+        for i, w in enumerate(self.down_widths):
+            stride = (1, 1) if i == 0 else (2, 2)
+            x = Conv2dWS(w, (3, 3), stride, standardize=ws)(x)
+            x = _Norm(self.norm)(x, train)
+            x = nn.relu(x)
+            x = _BasicBlock2d(w, norm=self.norm)(x, train)
+            if i < len(self.down_widths) - 1:
+                skips.append(x)
+        for w in self.up_widths:
+            skip = skips.pop()
+            n, hh, wwid, _ = skip.shape
+            x = jax.image.resize(x, (x.shape[0], hh, wwid, x.shape[-1]),
+                                 "bilinear")
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = Conv2dWS(w, (3, 3), standardize=ws)(x)
+            x = _Norm(self.norm)(x, train)
+            x = nn.relu(x)
+            x = _BasicBlock2d(w, norm=self.norm)(x, train)
+        x = Conv2dWS(self.out_channels, (3, 3), standardize=ws)(x)
+        x = _Norm(self.norm)(x, train)
+        return nn.relu(x)

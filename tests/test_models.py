@@ -149,3 +149,27 @@ def test_lovasz_perfect_prediction():
     assert float(lovasz_softmax(logits, labels)) < 1e-3
     bad = -logits
     assert float(lovasz_softmax(bad, labels)) > 0.5
+
+
+def test_unet2d_tower_forward():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepviewagg_tpu.modules.image_encoders import UNet2D
+
+    m = UNet2D(down_widths=(8, 16, 32), up_widths=(16, 8), out_channels=8)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 16, 3)),
+                    jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 32, 16, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet2d_registered_as_tower():
+    from deepviewagg_tpu.models.segmentation import make_tower
+
+    fac, out = make_tower("unet2d_16")
+    assert out == 16
+    assert fac().out_channels == 16
