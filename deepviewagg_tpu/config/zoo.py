@@ -59,6 +59,14 @@ _NAMED = {
         branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
                        num_groups=8, interpolate=True)],
     ),
+    # the published light no3d model (no3d.yaml:5: 6.1M params, 2D UNet
+    # tower, atomic max + view MEAN pooling, logits at points)
+    "Res16UNet21-15_light": dict(
+        family="no3d",
+        branches=[dict(level=0, tower="unet2d_light", out_channels=32,
+                       atomic_reduce="max", view_pool="mean",
+                       interpolate=True)],
+    ),
     "No3D-L4-max": dict(
         family="no3d",
         branches=[dict(level=0, tower="resnet18_l4", view_pool="max",

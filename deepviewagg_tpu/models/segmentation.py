@@ -99,6 +99,14 @@ def make_tower(name: str, norm: str = "group"):
         fac = functools.partial(towers.ResNet18, out_level=lvl, norm=norm,
                                 name="tower")
         return fac, towers.OUT_CHANNELS[lvl]
+    if name == "unet2d_light":
+        # the published no3d light tower (no3d.yaml:5-50): 5 ResNetDown
+        # stages 32/32/64/128/256, ResNetUp back to 32
+        fac = functools.partial(
+            towers.UNet2D, down_widths=(32, 32, 64, 128, 256),
+            up_widths=(128, 96, 64, 32), out_channels=32, norm=norm,
+            name="tower")
+        return fac, 32
     if name.startswith("unet2d"):
         # light configurable 2D UNet (ref image.py:510; the no3d 'light'
         # tower family); "unet2d" or "unet2d_<out_channels>"
