@@ -13,7 +13,6 @@ import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import json
-import os
 import sys
 import time
 

@@ -125,10 +125,14 @@ def parse_model_name(name: str) -> Optional[dict]:
     # resnet18_l<k>; only the explicit 'ppm' token picks the PPM-head tower
     tower = ("resnet18_ppm" if d["tower"] == "ppm"
              else f"resnet18_l{tower_level}")
+    # early (pre-stem) entries in the reference zoo all CONCAT with the raw
+    # features; residual fusion appears at intermediate levels where the 2D
+    # stage widths match the 3D stream (yaml:40-67)
+    fusion = "concat" if level == 0 else "residual"
     return dict(
         backbone=d["bb"],
         branches=[dict(level=level, tower=tower, view_pool=pool,
-                       num_groups=groups, fusion_mode="residual",
+                       num_groups=groups, fusion_mode=fusion,
                        interpolate=bool(d["interp"]))],
     )
 

@@ -197,22 +197,21 @@ class SphereDataset:
         if self.train and self.augment is not None:
             sub = self.augment(sub, self._rng)
         sub = transforms3d.quantize_cloud(sub, self.voxel_size)
-        # uint8 images (the mmap'd cache format) must be ImageNet-normalized
-        # at the END of the 2D chain — latch the flag now because radiometric
-        # transforms convert to [0,1] float along the way (ref chain order:
-        # ColorJitter -> flip -> ToFloatImage -> Normalize)
-        needs_normalize = (sub.get("images") is not None
-                           and sub["images"].dtype == np.uint8)
-        # radiometric augments are defined on raw [0,255]/[0,1] images only;
-        # a float cache that stored ImageNet-NORMALIZED stacks (negative
-        # values / max>1.5) must skip them or they corrupt to near-black
+        # Cache taxonomy (ref chain order: ColorJitter -> flip ->
+        # ToFloatImage -> Normalize): uint8 and non-negative float caches
+        # are RAW — radiometric augments apply and ImageNet normalization
+        # runs at the END of the 2D chain; a float cache holding already-
+        # NORMALIZED stacks (negative values) gets neither (re-normalizing
+        # or jittering it would corrupt the statistics).  Only float caches
+        # pay the min() scan; uint8 (the mmap'd format) classifies by dtype.
         imgs0 = sub.get("images")
-        radiometric_ok = imgs0 is not None and (
-            imgs0.dtype == np.uint8
-            or (float(imgs0.min(initial=0.0)) >= -0.01
-                and float(imgs0.max(initial=0.0)) <= 1.5)
+        already_normalized = (
+            imgs0 is not None and imgs0.dtype != np.uint8
+            and imgs0.size > 0 and float(imgs0.min()) < -0.01
         )
-        if (imgs0 is not None and not radiometric_ok and self.train
+        needs_normalize = imgs0 is not None and not already_normalized
+        radiometric_ok = needs_normalize
+        if (already_normalized and self.train
                 and (self.color_jitter is not None or self.blur_p > 0)
                 and not getattr(self, "_warned_normalized_cache", False)):
             import sys

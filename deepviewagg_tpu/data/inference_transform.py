@@ -55,6 +55,12 @@ class ModelInference:
                 "ModelInference supports 3D-only checkpoints (the reference's "
                 "concrete subclass is a plain PointNet forward too)"
             )
+        if spec.in_channels != 4:
+            raise ValueError(
+                f"checkpoint expects in_channels={spec.in_channels}; "
+                "ModelInference builds the standard rgb+ones (4-channel) "
+                "features only"
+            )
         self.spec = spec
         self.model = build_model(spec)
         self.run_dir = run_dir

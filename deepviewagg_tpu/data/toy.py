@@ -46,7 +46,10 @@ def flagship_spec(
             (0, BranchSpec(
                 tower=tower, out_channels=64, view_pool="group",
                 num_groups=num_groups, interpolate=True,
-                fusion_mode="residual", remat_tower=True,
+                # early fusion is pre-stem; the reference's early models all
+                # CONCAT there (residual early would bottleneck through the
+                # raw feature width)
+                fusion_mode="concat", remat_tower=True,
             )),
         ),
     )

@@ -203,9 +203,15 @@ class MultimodalSeg(nn.Module):
             )
             return x, seen
 
-        x = Stem(name="stem")(batch["feats"], batch["graph"], train=train)
+        # branching_index 0 runs on the RAW point features and the stem
+        # consumes the fused result — the reference's early placement (its
+        # down_conv_nn[0] is [FEAT + out_feat_img, ...], yaml:6646; the
+        # builder injects an Identity 3D conv before the branch,
+        # base_architectures/unet.py:448-473)
+        x = batch["feats"]
         if 0 in branch_at:
             x, x_seen_all = run_branch(0, x)
+        x = Stem(name="stem")(x, batch["graph"], train=train)
         skips = [x]
         for i in range(n_down):
             x = DownStage(planes[i], layers[i], block, name=f"down{i}")(

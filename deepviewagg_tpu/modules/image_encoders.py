@@ -259,6 +259,7 @@ class UNet2D(nn.Module):
     up_widths: tuple = (64, 32)
     out_channels: int = 32
     norm: str = "group"
+    dropout: float = 0.0          # PersistentDropout2d before the head
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -282,6 +283,8 @@ class UNet2D(nn.Module):
             x = _Norm(self.norm)(x, train)
             x = nn.relu(x)
             x = _BasicBlock2d(w, norm=self.norm)(x, train)
+        if self.dropout > 0:
+            x = PersistentDropout2d(self.dropout, name="drop")(x, train)
         x = Conv2dWS(self.out_channels, (3, 3), standardize=ws)(x)
         x = _Norm(self.norm)(x, train)
         return nn.relu(x)

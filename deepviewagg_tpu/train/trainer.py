@@ -178,6 +178,7 @@ class Trainer:
         tracker = SegmentationTracker(self.num_classes, "train")
         t0 = time.time()
         n = 0
+        prev_loss = None
         for i, batch in enumerate(batches):
             if self.cfg.num_batches_cap and i >= self.cfg.num_batches_cap:
                 break
@@ -186,25 +187,32 @@ class Trainer:
                 self.state, self._strip_meta(batch), step_rng
             )
             n += 1
+            # failure detection beyond the reference (SURVEY §5: it has
+            # none): check the PREVIOUS step's loss — the read overlaps with
+            # the current step's device execution, so training stays
+            # pipelined and at most one poisoned update lands before abort
+            if self.cfg.nan_guard and prev_loss is not None:
+                self._check_finite(prev_loss, i - 1)
+            prev_loss = metrics["loss"]
             if i % self.cfg.track_every == 0:
-                if self.cfg.nan_guard:
-                    loss = float(np.asarray(metrics["loss"]).mean())
-                    if not np.isfinite(loss):
-                        # failure detection beyond the reference (SURVEY §5:
-                        # it has none): stop at the poisoned step with the
-                        # last good weights still checkpointed
-                        if self.checkpoint is not None:
-                            self.checkpoint.save_state("crash", self.state)
-                        raise FloatingPointError(
-                            f"non-finite loss at epoch {self.epoch} step {i}"
-                            " — state saved as 'crash'; lower the lr or"
-                            " enable grad_clip"
-                        )
                 self._track_train(tracker, batch, metrics)
+        if self.cfg.nan_guard and prev_loss is not None:
+            self._check_finite(prev_loss, n - 1)
         out = tracker.get_metrics()
         out["train_batches"] = n
         out["train_time_s"] = time.time() - t0
         return out
+
+    def _check_finite(self, loss, step: int):
+        if np.isfinite(float(np.asarray(loss).mean())):
+            return
+        if self.checkpoint is not None:
+            self.checkpoint.save_state("crash", jax.device_get(self.state))
+        raise FloatingPointError(
+            f"non-finite loss at epoch {self.epoch} step {step} — state "
+            "(one update past the first bad loss) saved as 'crash'; lower "
+            "the lr or enable grad_clip"
+        )
 
     def _track_train(self, tracker, batch, metrics):
         if isinstance(batch, (list, tuple)):  # per-device batches

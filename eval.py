@@ -15,7 +15,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import argparse
 import json
-import os
 
 if os.environ.get("DVA_PLATFORM"):
     import jax

@@ -17,7 +17,6 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import argparse
-import os
 import sys
 
 # the axon TPU plugin overrides JAX_PLATFORMS from the environment;
