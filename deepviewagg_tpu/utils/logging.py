@@ -15,7 +15,7 @@ import subprocess
 import time
 from typing import Dict, Optional
 
-__all__ = ["MetricLogger", "git_info"]
+__all__ = ["MetricLogger", "git_info", "save_git_diff"]
 
 
 def git_info(repo_dir: Optional[str] = None) -> Dict[str, str]:
@@ -35,6 +35,22 @@ def git_info(repo_dir: Optional[str] = None) -> Dict[str, str]:
         return {}
 
 
+def save_git_diff(run_dir: str, repo_dir: Optional[str] = None) -> None:
+    """Write the working-tree diff next to the run (the reference uploads
+    it with every wandb run, utils/wandb_utils.py:63-70) so a dirty-tree
+    experiment stays reproducible."""
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "HEAD"], capture_output=True, text=True,
+            cwd=repo_dir, timeout=10,
+        ).stdout
+        if diff.strip():
+            with open(os.path.join(run_dir, "git_diff.patch"), "w") as f:
+                f.write(diff)
+    except Exception:
+        pass
+
+
 class MetricLogger:
     def __init__(self, run_dir: Optional[str], use_tensorboard: bool = True,
                  use_wandb: bool = False, wandb_kwargs: Optional[dict] = None):
@@ -45,6 +61,10 @@ class MetricLogger:
         if run_dir:
             os.makedirs(run_dir, exist_ok=True)
             self._jsonl = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+            info = git_info(os.path.dirname(os.path.abspath(__file__)))
+            if info.get("dirty") == "True":
+                save_git_diff(run_dir,
+                              os.path.dirname(os.path.abspath(__file__)))
         if use_tensorboard and run_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
