@@ -173,3 +173,31 @@ def test_unet2d_registered_as_tower():
     fac, out = make_tower("unet2d_16")
     assert out == 16
     assert fac().out_channels == 16
+
+
+def test_early_branch_runs_pre_stem():
+    """branching_index 0 must see the RAW point features (the reference's
+    early placement: down_conv_nn[0] = [FEAT + out_feat_img, ...])."""
+    import jax
+    import numpy as np
+
+    from deepviewagg_tpu.data.collate import device_view
+    from deepviewagg_tpu.data.toy import flagship_spec, toy_batch
+    from deepviewagg_tpu.models.segmentation import MultimodalSeg
+
+    spec = flagship_spec(backbone="Res16UNetTest", tower="resnet18_l1",
+                         num_groups=2)
+    batch, _, _ = toy_batch(n_samples=1, density=25.0, image_size=(64, 32),
+                            n_cameras=1)
+    dv = device_view(batch); dv.pop("meta", None)
+    model = MultimodalSeg(spec)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), dv, train=False)
+    params = variables["params"]
+    # concat fusion pre-stem: the stem conv consumes raw feats + pooled 2D
+    stem_kernel = params["stem"]["SparseConvNormRelu_0"]["SparseConv_0"]["kernel"]
+    in_feats = dv["feats"].shape[-1]
+    branch_out = dict(spec.branches)[0].out_channels
+    assert stem_kernel.shape[1] == in_feats + branch_out, (
+        f"stem input {stem_kernel.shape[1]} != raw {in_feats} + branch "
+        f"{branch_out}: early branch is not pre-stem")
