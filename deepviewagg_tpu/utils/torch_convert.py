@@ -22,7 +22,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["convert_resnet18", "load_torch_state_dict"]
+__all__ = ["convert_resnet18", "convert_ppm_head",
+           "load_torch_state_dict"]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -105,6 +106,44 @@ def convert_resnet18(sd: Dict[str, np.ndarray], out_level: int = 4):
                     bn_s["mean"])
                 put(stats, (bp, "_Norm_2", "BatchNorm_0", "var"),
                     bn_s["var"])
+    return params, stats
+
+
+def convert_ppm_head(sd: Dict[str, np.ndarray], prefix: str = "",
+                     bins: int = 4):
+    """-> ``(params, batch_stats)`` for ``PPM(out_channels=512,
+    norm='batch')`` from an MIT-semseg ``PPMDeepsup`` decoder state dict
+    (the reference strips dropout + classifier and keeps ``ppm.{i}`` scale
+    convs plus ``conv_last`` — modalities/image.py:659-720; keys
+    ``ppm.{i}.1/2`` are the 1x1 conv + BN inside each Sequential,
+    ``conv_last.0/1`` the fused 3x3 conv + BN)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for q in path[:-1]:
+            node = node.setdefault(q, {})
+        node[path[-1]] = leaf
+
+    for i in range(bins):
+        conv_key = f"{prefix}ppm.{i}.1.weight"
+        if conv_key not in sd:
+            continue
+        put(params, (f"Conv2dWS_{i}", "kernel"), _conv(sd[conv_key]))
+        bn_p, bn_s = _bn(sd, f"{prefix}ppm.{i}.2")
+        put(params, (f"_Norm_{i}", "BatchNorm_0", "scale"), bn_p["scale"])
+        put(params, (f"_Norm_{i}", "BatchNorm_0", "bias"), bn_p["bias"])
+        put(stats, (f"_Norm_{i}", "BatchNorm_0", "mean"), bn_s["mean"])
+        put(stats, (f"_Norm_{i}", "BatchNorm_0", "var"), bn_s["var"])
+    if f"{prefix}conv_last.0.weight" in sd:
+        put(params, (f"Conv2dWS_{bins}", "kernel"),
+            _conv(sd[f"{prefix}conv_last.0.weight"]))
+        bn_p, bn_s = _bn(sd, f"{prefix}conv_last.1")
+        put(params, (f"_Norm_{bins}", "BatchNorm_0", "scale"), bn_p["scale"])
+        put(params, (f"_Norm_{bins}", "BatchNorm_0", "bias"), bn_p["bias"])
+        put(stats, (f"_Norm_{bins}", "BatchNorm_0", "mean"), bn_s["mean"])
+        put(stats, (f"_Norm_{bins}", "BatchNorm_0", "var"), bn_s["var"])
     return params, stats
 
 

@@ -91,3 +91,69 @@ def test_resnet18_conversion_parity(rng):
     # bf16 conv compute: expect ~1e-2 agreement
     err = np.abs(got_nchw - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 3e-2, err
+
+
+def test_ppm_head_conversion_parity():
+    """A torch PPMDeepsup-shaped head (MIT-semseg structure the reference
+    strips to ppm+conv_last, image.py:659-720) must produce matching
+    activations through our PPM module after conversion.  Input sizes are
+    divisible by every bin so torch AdaptiveAvgPool2d and our fixed-window
+    pooling coincide."""
+    import numpy as np
+    import torch
+    import torch.nn as tnn
+
+    import jax
+
+    from deepviewagg_tpu.modules.image_encoders import PPM
+    from deepviewagg_tpu.utils.torch_convert import convert_ppm_head
+
+    torch.manual_seed(0)
+    fc_dim, out, scales = 64, 96, (1, 2, 3, 6)
+    ppm_t = tnn.ModuleList([
+        tnn.Sequential(
+            tnn.AdaptiveAvgPool2d(s),
+            tnn.Conv2d(fc_dim, out, 1, bias=False),
+            tnn.BatchNorm2d(out),
+            tnn.ReLU(inplace=True),
+        ) for s in scales
+    ])
+    conv_last_t = tnn.Sequential(
+        tnn.Conv2d(fc_dim + len(scales) * out, out, 3, padding=1, bias=False),
+        tnn.BatchNorm2d(out),
+        tnn.ReLU(inplace=True),
+    )
+    for m in list(ppm_t.modules()) + list(conv_last_t.modules()):
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(); m.running_var.uniform_(0.5, 1.5)
+    ppm_t.eval(); conv_last_t.eval()
+
+    x = torch.randn(2, fc_dim, 12, 24)
+    with torch.no_grad():
+        feats = [x]
+        for s, mod in zip(scales, ppm_t):
+            y = mod(x)
+            feats.append(torch.nn.functional.interpolate(
+                y, size=x.shape[2:], mode="bilinear", align_corners=False))
+        # repo image layout is [N, W, H, C] (x = width), like the trunk test
+        ref = conv_last_t(torch.cat(feats, 1)).permute(0, 3, 2, 1).numpy()
+
+    sd = {}
+    for i, mod in enumerate(ppm_t):
+        sd[f"ppm.{i}.1.weight"] = mod[1].weight.detach().numpy()
+        for k, v in mod[2].state_dict().items():
+            sd[f"ppm.{i}.2.{k}"] = v.numpy()
+    sd["conv_last.0.weight"] = conv_last_t[0].weight.detach().numpy()
+    for k, v in conv_last_t[1].state_dict().items():
+        sd[f"conv_last.1.{k}"] = v.numpy()
+    params, stats = convert_ppm_head(sd)
+
+    model = PPM(out_channels=out, norm="batch")
+    x_j = jax.numpy.asarray(x.permute(0, 3, 2, 1).numpy())
+    variables = model.init(jax.random.PRNGKey(0), x_j, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats}, x_j, train=False)
+    # bf16 conv compute (Conv2dWS): expect ~1e-2 relative agreement, same
+    # criterion as the trunk parity test above
+    err = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-2, err
