@@ -103,6 +103,8 @@ def parse_model_name(name: str) -> Optional[dict]:
         r"-(?P<depth>early|intermediate\d?|late)"
         r"(?:-(?P<pool>max|mean|heuristic|qkv|group\d*))?"
         r"(?:-(?P<tower>ade20k|imagenet|cityscapes|scratch|ppm))?"
+        r"(?P<nogating>-nogating)?"
+        r"(?:-(?:hard)?drop(?P<drop>\d+))?"
         r"(?P<interp>-interpolate)?$",
         name,
     )
@@ -133,6 +135,10 @@ def parse_model_name(name: str) -> Optional[dict]:
         backbone=d["bb"],
         branches=[dict(level=level, tower=tower, view_pool=pool,
                        num_groups=groups, fusion_mode=fusion,
+                       # -nogating / -drop50 variants (yaml:6690, 6348)
+                       gated=not d["nogating"],
+                       drop_modality=(int(d["drop"]) / 100.0
+                                      if d["drop"] else 0.0),
                        interpolate=bool(d["interp"]))],
     )
 

@@ -23,7 +23,17 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["convert_resnet18", "convert_ppm_head",
-           "load_torch_state_dict"]
+           "load_torch_state_dict", "strip_prefix"]
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Drop a wrapper prefix (``module.`` from DataParallel saves,
+    ``encoder.``/``backbone.`` from segmentation checkpoints) so the
+    torchvision-style converters below see bare keys."""
+    out = {}
+    for k, v in sd.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

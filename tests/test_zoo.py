@@ -81,3 +81,15 @@ def test_model_families_shape_check(name, batch):
     cap0 = batch["feats"].shape[0]
     assert out["logits"].shape == (cap0, 4)
     assert "x_seen" in out
+
+
+def test_grammar_nogating_drop_tokens():
+    d = parse_model_name("Res16UNet34-L4-early-nogating-interpolate")
+    assert d["branches"][0]["gated"] is False
+    d = parse_model_name("Res16UNet34-L4-early-ade20k-harddrop50-interpolate")
+    assert d["branches"][0]["drop_modality"] == 0.5
+    d = parse_model_name("Res16UNet18-L2-intermediate1-drop30")
+    assert d["branches"][0]["drop_modality"] == 0.3
+    d = parse_model_name("Res16UNet34-L4-early")
+    assert d["branches"][0]["gated"] is True
+    assert d["branches"][0]["drop_modality"] == 0.0
