@@ -89,6 +89,15 @@ _POOLS = {"max": ("max", 1), "mean": ("mean", 1), "heuristic": ("heuristic", 1),
           "qkv": ("qkv", 1)}
 
 
+def _drop_p(token) -> float:
+    if not token:
+        return 0.0
+    p = int(token) / 100.0
+    if not 0.0 <= p <= 0.95:
+        raise ValueError(f"modality dropout {p} outside [0, 0.95]")
+    return p
+
+
 def parse_model_name(name: str) -> Optional[dict]:
     """Grammar: ``<Backbone>-L<k>-<depth>[-<pool>][-<tower>][-interpolate]``
 
@@ -104,7 +113,7 @@ def parse_model_name(name: str) -> Optional[dict]:
         r"(?:-(?P<pool>max|mean|heuristic|qkv|group\d*))?"
         r"(?:-(?P<tower>ade20k|imagenet|cityscapes|scratch|ppm))?"
         r"(?P<nogating>-nogating)?"
-        r"(?:-(?:hard)?drop(?P<drop>\d+))?"
+        r"(?:-(?P<hard>hard)?drop(?P<drop>\d+))?"
         r"(?P<interp>-interpolate)?$",
         name,
     )
@@ -135,10 +144,12 @@ def parse_model_name(name: str) -> Optional[dict]:
         backbone=d["bb"],
         branches=[dict(level=level, tower=tower, view_pool=pool,
                        num_groups=groups, fusion_mode=fusion,
-                       # -nogating / -drop50 variants (yaml:6690, 6348)
+                       # -nogating / -dropN / -harddropN variants
+                       # (yaml:6690, 6348; ref modules.py:272 distinguishes
+                       # soft nn.Dropout from hard ModalityDropout)
                        gated=not d["nogating"],
-                       drop_modality=(int(d["drop"]) / 100.0
-                                      if d["drop"] else 0.0),
+                       drop_modality=_drop_p(d["drop"]),
+                       drop_hard=bool(d["hard"]) or not d["drop"],
                        interpolate=bool(d["interp"]))],
     )
 
@@ -155,7 +166,9 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
             gated=b.get("gated", True),
             interpolate=b.get("interpolate", True),
             drop_modality=b.get("drop_modality", 0.0),
+            drop_hard=b.get("drop_hard", True),
             fusion_mode=b.get("fusion_mode", "residual"),
+            tower_deep_stem=b.get("tower_deep_stem", False),
             remat_tower=b.get("remat_tower", True),
             tower_norm=b.get("tower_norm", "group"),
             frozen=b.get("frozen", False),

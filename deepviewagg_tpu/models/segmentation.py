@@ -55,6 +55,13 @@ class BranchSpec:
     fusion_mode: str = "residual"
     remat_tower: bool = True
     tower_norm: str = "group"
+    # MIT-semseg deep stem (three 3x3 convs) — required to load ADE20K
+    # resnet18dilated encoder checkpoints (ref image.py:798-840 layer0)
+    tower_deep_stem: bool = False
+    # hard (all-or-nothing ModalityDropout) vs soft (per-element Dropout)
+    # modality dropout — ref modules.py:272 ``ModalityDropout if hard_drop
+    # else nn.Dropout``
+    drop_hard: bool = True
     # frozen pretrained tower (ref modalities/image.py:737): stop_gradient +
     # frozen BN stats in forward; the optimizer also masks the tower subtree
     frozen: bool = False
@@ -81,24 +88,26 @@ class ModelSpec:
         return dict(self.branches)
 
 
-def make_tower(name: str, norm: str = "group"):
+def make_tower(name: str, norm: str = "group", deep_stem: bool = False):
     """Tower registry -> (factory, out_channels).  Names follow the
     reference's encoder naming (truncation level / PPM variants,
     modalities/image.py).  The factory is passed to ``UnimodalBranch`` so the
     tower binds inside the branch's parameter scope."""
     if name == "resnet18_ppm":
         fac = functools.partial(towers.ResNet18PPM, out_channels=128,
-                                norm=norm, name="tower")
+                                norm=norm, deep_stem=deep_stem, name="tower")
         return fac, 128
     if name == "resnet18_pyramid":
         fac = functools.partial(towers.ResNet18Pyramid, out_channels=128,
-                                norm=norm, name="tower")
+                                norm=norm, deep_stem=deep_stem, name="tower")
         return fac, 128
     if name.startswith("resnet18_l"):
         lvl = int(name[-1])
         fac = functools.partial(towers.ResNet18, out_level=lvl, norm=norm,
-                                name="tower")
-        return fac, towers.OUT_CHANNELS[lvl]
+                                deep_stem=deep_stem, name="tower")
+        out = towers.OUT_CHANNELS[lvl]
+        # the deep stem widens layer0 to 128 (MIT resnet.py)
+        return fac, (128 if deep_stem and lvl == 0 else out)
     if name == "unet2d_light":
         # the published no3d light tower (no3d.yaml:5-50): 5 ResNetDown
         # stages 32/32/64/128/256, ResNetUp back to 32
@@ -163,7 +172,8 @@ class MultimodalSeg(nn.Module):
 
         def run_branch(level, x):
             spec: BranchSpec = branch_at[level]
-            tower, c2 = make_tower(spec.tower, spec.tower_norm)
+            tower, c2 = make_tower(spec.tower, spec.tower_norm,
+                                   spec.tower_deep_stem)
             mm = batch["mappings"][level]
             if "buckets" in mm:
                 # crop-group families (Bucket.image_ladder collate path)
@@ -193,6 +203,7 @@ class MultimodalSeg(nn.Module):
                 gated=spec.gated,
                 interpolate=spec.interpolate,
                 drop_modality=spec.drop_modality,
+                drop_hard=spec.drop_hard,
                 fusion_mode=spec.fusion_mode,
                 remat_tower=spec.remat_tower,
                 frozen=spec.frozen,
@@ -253,7 +264,8 @@ class No3DSeg(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = True):
         (level, bspec), = self.spec.branches
-        tower, c2 = make_tower(bspec.tower, bspec.tower_norm)
+        tower, c2 = make_tower(bspec.tower, bspec.tower_norm,
+                               bspec.tower_deep_stem)
         images = batch["images"]
         ref_size = (images.shape[1], images.shape[2])
         num_points = batch["feats"].shape[0]

@@ -75,6 +75,10 @@ class UnimodalBranch(nn.Module):
     gated: bool = True
     interpolate: bool = True
     drop_modality: float = 0.0
+    # hard: all-or-nothing ModalityDropout; soft: per-element Dropout on the
+    # pooled features (ref modules.py:272 ModalityDropout if hard_drop else
+    # nn.Dropout)
+    drop_hard: bool = True
     fusion_mode: str = "residual"
     remat_tower: bool = False
     keep_last_view: bool = False
@@ -156,9 +160,15 @@ class UnimodalBranch(nn.Module):
         x_seen = n_views > 0
 
         # --- modality dropout + fusion -----------------------------------
-        pooled = ModalityDropout(self.drop_modality, name="mod_drop")(
-            pooled, train=train
-        )
+        if self.drop_hard:
+            pooled = ModalityDropout(self.drop_modality, name="mod_drop")(
+                pooled, train=train
+            )
+        elif self.drop_modality > 0:
+            pooled = nn.Dropout(
+                self.drop_modality,
+                deterministic=not self.has_rng("dropout"), name="mod_drop",
+            )(pooled)
         if x_3d is None:
             out = pooled
         else:

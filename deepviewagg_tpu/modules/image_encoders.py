@@ -129,14 +129,26 @@ class ResNet18(nn.Module):
     dilated8: bool = False       # MIT-semseg 'resnet18dilated8' trunk
     pyramid: bool = False
     width: int = 64
+    # MIT-semseg deep stem (their resnet.py / the reference's ADE20K layer0,
+    # image.py:798-840): three 3x3 conv-bn-relu (64, 64, 128) + maxpool
+    # instead of torchvision's single 7x7 — required to load ADE20K
+    # resnet18dilated encoder checkpoints
+    deep_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ws = self.norm == "group"
         taps = []
-        x = Conv2dWS(self.width, (7, 7), (2, 2), standardize=ws)(x)
-        x = _Norm(self.norm)(x, train)
-        x = nn.relu(x)
+        if self.deep_stem:
+            for f, st in ((self.width, (2, 2)), (self.width, (1, 1)),
+                          (self.width * 2, (1, 1))):
+                x = Conv2dWS(f, (3, 3), st, standardize=ws)(x)
+                x = _Norm(self.norm)(x, train)
+                x = nn.relu(x)
+        else:
+            x = Conv2dWS(self.width, (7, 7), (2, 2), standardize=ws)(x)
+            x = _Norm(self.norm)(x, train)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))  # torch pad=1 convention
         taps.append(x)
@@ -196,11 +208,12 @@ class ResNet18Pyramid(nn.Module):
     out_level: int = 4
     norm: str = "group"
     out_channels: int = 128
+    deep_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         taps = ResNet18(out_level=self.out_level, norm=self.norm,
-                        pyramid=True)(x, train)
+                        pyramid=True, deep_stem=self.deep_stem)(x, train)
         n, w, h, _ = taps[0].shape
         resized = [taps[0]] + [
             jax.image.resize(t, (n, w, h, t.shape[-1]), "bilinear")
@@ -219,10 +232,12 @@ class ResNet18PPM(nn.Module):
 
     out_channels: int = 128
     norm: str = "group"
+    deep_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ResNet18(out_level=4, norm=self.norm, dilated8=True)(x, train)
+        x = ResNet18(out_level=4, norm=self.norm, dilated8=True,
+                     deep_stem=self.deep_stem)(x, train)
         return PPM(self.out_channels, norm=self.norm)(x, train)
 
 

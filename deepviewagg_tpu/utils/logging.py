@@ -61,10 +61,8 @@ class MetricLogger:
         if run_dir:
             os.makedirs(run_dir, exist_ok=True)
             self._jsonl = open(os.path.join(run_dir, "metrics.jsonl"), "a")
-            info = git_info(os.path.dirname(os.path.abspath(__file__)))
-            if info.get("dirty") == "True":
-                save_git_diff(run_dir,
-                              os.path.dirname(os.path.abspath(__file__)))
+            # no-ops on a clean tree, swallows git errors
+            save_git_diff(run_dir, os.path.dirname(os.path.abspath(__file__)))
         if use_tensorboard and run_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter

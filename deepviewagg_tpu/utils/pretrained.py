@@ -20,7 +20,8 @@ from typing import Dict, Tuple
 import numpy as np
 
 from .torch_convert import (
-    convert_resnet18, load_torch_state_dict, merge_tower_params,
+    convert_ppm_head, convert_resnet18, load_torch_state_dict,
+    merge_tower_params, strip_prefix,
 )
 
 __all__ = ["apply_tower_weights", "tower_param_path", "freeze_paths_for_spec"]
@@ -66,15 +67,44 @@ def apply_tower_weights(variables, spec, path: str):
     converted BN stats would have nowhere to land).
     """
     sd = load_torch_state_dict(path)
+    for prefix in ("module.", "encoder.", "backbone."):
+        sd = strip_prefix(sd, prefix)
     if not any(b.tower_norm == "batch" for _, b in spec.branches):
         raise ValueError(
             "pretrained tower weights need tower_norm='batch' on the branch "
             "spec (torch checkpoints carry BatchNorm statistics)"
         )
+    deep = "conv3.weight" in sd  # MIT-semseg deep stem
     for level, b in spec.branches:
+        if deep != b.tower_deep_stem:
+            raise ValueError(
+                "checkpoint stem does not match the tower: "
+                f"checkpoint deep_stem={deep} vs branch tower_deep_stem="
+                f"{b.tower_deep_stem} (train.py sets this automatically "
+                "from the checkpoint)"
+            )
         params, stats = convert_resnet18(sd, out_level=_out_level(b.tower))
         tpath = tower_param_path(spec, level, b)
         variables = merge_tower_params(variables, tpath, params, stats)
+        if b.tower == "resnet18_ppm":
+            # PPM decoder weights ride in the same dict under decoder-style
+            # prefixes (MIT ships encoder_/decoder_ checkpoints; a merged
+            # dict or a decoder-only dict both work)
+            dsd = sd
+            for prefix in ("decoder.", "ppm_deepsup.", "ppm."):
+                if any(k.startswith(prefix) for k in dsd):
+                    dsd = strip_prefix(dsd, prefix)
+                    if prefix == "ppm.":  # re-add: converter expects ppm.*
+                        dsd = {f"ppm.{k}" if not k.startswith("conv_last")
+                               else k: v for k, v in dsd.items()}
+                    break
+            if any(k.startswith("ppm.") for k in dsd):
+                h_params, h_stats = convert_ppm_head(dsd)
+                variables = merge_tower_params(
+                    variables,
+                    (_branch_scope(spec, level), "tower", "PPM_0"),
+                    h_params, h_stats,
+                )
     return variables
 
 

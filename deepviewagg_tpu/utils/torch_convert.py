@@ -67,7 +67,9 @@ def _bn(sd, prefix):
 def convert_resnet18(sd: Dict[str, np.ndarray], out_level: int = 4):
     """-> ``(params, batch_stats)`` pytrees for ``ResNet18(norm='batch',
     out_level=out_level)``.  Tolerates truncated checkpoints (missing layers
-    are skipped; init the model first and merge)."""
+    are skipped; init the model first and merge).  Detects the MIT-semseg
+    deep stem (``conv3.weight`` present — three 3x3 convs; build the model
+    with ``deep_stem=True``) vs torchvision's single 7x7 ``conv1``."""
     params: Dict = {}
     stats: Dict = {}
 
@@ -77,12 +79,14 @@ def convert_resnet18(sd: Dict[str, np.ndarray], out_level: int = 4):
             node = node.setdefault(p, {})
         node[path[-1]] = leaf
 
-    put(params, ("Conv2dWS_0", "kernel"), _conv(sd["conv1.weight"]))
-    bn_p, bn_s = _bn(sd, "bn1")
-    put(params, ("_Norm_0", "BatchNorm_0", "scale"), bn_p["scale"])
-    put(params, ("_Norm_0", "BatchNorm_0", "bias"), bn_p["bias"])
-    put(stats, ("_Norm_0", "BatchNorm_0", "mean"), bn_s["mean"])
-    put(stats, ("_Norm_0", "BatchNorm_0", "var"), bn_s["var"])
+    n_stem = 3 if "conv3.weight" in sd else 1
+    for i in range(n_stem):
+        put(params, (f"Conv2dWS_{i}", "kernel"), _conv(sd[f"conv{i+1}.weight"]))
+        bn_p, bn_s = _bn(sd, f"bn{i+1}")
+        put(params, (f"_Norm_{i}", "BatchNorm_0", "scale"), bn_p["scale"])
+        put(params, (f"_Norm_{i}", "BatchNorm_0", "bias"), bn_p["bias"])
+        put(stats, (f"_Norm_{i}", "BatchNorm_0", "mean"), bn_s["mean"])
+        put(stats, (f"_Norm_{i}", "BatchNorm_0", "var"), bn_s["var"])
 
     block_idx = 0
     for layer in range(1, out_level + 1):

@@ -157,3 +157,42 @@ def test_ppm_head_conversion_parity():
     # criterion as the trunk parity test above
     err = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 5e-2, err
+
+
+def test_mit_deep_stem_conversion_parity():
+    """MIT-semseg ADE20K encoders use a 3-conv deep stem (the reference's
+    layer0, image.py:832-840); convert_resnet18 must detect it via
+    conv3.weight and the deep_stem tower must reproduce torch activations."""
+    torch.manual_seed(1)
+    stem_t = tnn.Sequential(
+        tnn.Conv2d(3, 64, 3, stride=2, padding=1, bias=False),
+        tnn.BatchNorm2d(64), tnn.ReLU(inplace=True),
+        tnn.Conv2d(64, 64, 3, padding=1, bias=False),
+        tnn.BatchNorm2d(64), tnn.ReLU(inplace=True),
+        tnn.Conv2d(64, 128, 3, padding=1, bias=False),
+        tnn.BatchNorm2d(128), tnn.ReLU(inplace=True),
+        tnn.MaxPool2d(3, stride=2, padding=1),
+    )
+    for m in stem_t.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1); m.running_var.uniform_(0.6, 1.4)
+    stem_t.eval()
+
+    x = torch.randn(2, 3, 32, 48)
+    with torch.no_grad():
+        ref = stem_t(x).permute(0, 3, 2, 1).numpy()   # -> [N, W, H, C]
+
+    sd = {}
+    for i, ci in enumerate((0, 3, 6)):
+        sd[f"conv{i+1}.weight"] = stem_t[ci].weight.detach().numpy()
+        for k, v in stem_t[ci + 1].state_dict().items():
+            sd[f"bn{i+1}.{k}"] = v.numpy()
+    params, stats = convert_resnet18(sd, out_level=0)
+
+    model = ResNet18(out_level=0, norm="batch", deep_stem=True)
+    xin = np.transpose(x.numpy(), (0, 3, 2, 1))
+    model.init(jax.random.PRNGKey(0), xin, train=False)
+    got = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, xin, train=False))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 3e-2, err

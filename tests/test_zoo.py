@@ -93,3 +93,14 @@ def test_grammar_nogating_drop_tokens():
     d = parse_model_name("Res16UNet34-L4-early")
     assert d["branches"][0]["gated"] is True
     assert d["branches"][0]["drop_modality"] == 0.0
+
+
+def test_grammar_soft_vs_hard_drop():
+    soft = parse_model_name("Res16UNet34-L4-early-drop50")["branches"][0]
+    hard = parse_model_name("Res16UNet34-L4-early-harddrop50")["branches"][0]
+    assert soft["drop_modality"] == hard["drop_modality"] == 0.5
+    assert soft["drop_hard"] is False and hard["drop_hard"] is True
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_model_name("Res16UNet34-L4-early-drop100")

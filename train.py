@@ -177,6 +177,23 @@ def main(argv=None):
     if cfg.model.tower_weights or cfg.model.tower_frozen:
         from deepviewagg_tpu.utils import pretrained as _pre
 
+        if cfg.model.tower_weights:
+            # MIT-semseg ADE20K encoders use a deep 3-conv stem; sniff the
+            # checkpoint and build matching towers
+            import dataclasses as _dc
+
+            from deepviewagg_tpu.utils.torch_convert import (
+                load_torch_state_dict, strip_prefix)
+
+            _sd = load_torch_state_dict(cfg.model.tower_weights)
+            for _pfx in ("module.", "encoder.", "backbone."):
+                _sd = strip_prefix(_sd, _pfx)
+            if "conv3.weight" in _sd:
+                spec = _dc.replace(spec, branches=tuple(
+                    (lvl, _dc.replace(b, tower_deep_stem=True))
+                    for lvl, b in spec.branches
+                ))
+
         if cfg.model.tower_frozen:
             freeze_paths = _pre.freeze_paths_for_spec(spec)
         if cfg.model.tower_weights:
