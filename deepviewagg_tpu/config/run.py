@@ -131,6 +131,16 @@ def load_run_config(path: Optional[str] = None,
     model_checkpoint.py:241-253)."""
     cfg = RunConfig()
     if base:
+        # migration: runs trained before stem_kernel was pinned into the
+        # stored config used the then-default kernel-5 stem; rebuilding them
+        # under today's default (3, matching the reference's multimodal
+        # configs) would silently mismatch the trained params' structure
+        model = base.get("model") or {}
+        if "stem_kernel" not in (model.get("overrides") or {}):
+            base = dict(base)
+            base["model"] = dict(model)
+            base["model"]["overrides"] = dict(model.get("overrides") or {},
+                                              stem_kernel=5)
         _merge(cfg, base, ignore_unknown=True)
     if path:
         with open(path) as f:

@@ -168,7 +168,11 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
             drop_modality=b.get("drop_modality", 0.0),
             drop_hard=b.get("drop_hard", True),
             fusion_mode=b.get("fusion_mode", "residual"),
-            tower_deep_stem=b.get("tower_deep_stem", False),
+            # entry-level fallback so cfg.model.overrides can pin the stem
+            # family for every branch (persisted by train.py, used when the
+            # tower checkpoint is absent at eval/predict time)
+            tower_deep_stem=b.get("tower_deep_stem",
+                                  entry.get("tower_deep_stem", False)),
             remat_tower=b.get("remat_tower", True),
             tower_norm=b.get("tower_norm", "group"),
             frozen=b.get("frozen", False),
@@ -224,6 +228,26 @@ def resolve_spec_from_cfg(model_cfg, num_classes: int) -> ModelSpec:
                           model_cfg.overrides)
     tw = getattr(model_cfg, "tower_weights", None)
     tf = getattr(model_cfg, "tower_frozen", False)
+    # MIT-semseg ADE20K encoders use a deep 3-conv stem; sniff the tower
+    # checkpoint here (not in train.py) so eval/predict rebuild the exact
+    # trained stem structure too.  An explicit overrides['tower_deep_stem']
+    # pin (persisted by train.py) wins and covers the checkpoint-file-moved
+    # case; an unreadable file falls back to the pinned/derived value.
+    if tw and "tower_deep_stem" not in (model_cfg.overrides or {}):
+        try:
+            from ..utils.torch_convert import (load_torch_state_dict,
+                                               strip_prefix)
+
+            _sd = load_torch_state_dict(tw)
+            for _pfx in ("module.", "encoder.", "backbone."):
+                _sd = strip_prefix(_sd, _pfx)
+            if "conv3.weight" in _sd:
+                spec = _dc.replace(spec, branches=tuple(
+                    (lvl, _dc.replace(b, tower_deep_stem=True))
+                    for lvl, b in spec.branches
+                ))
+        except (OSError, ValueError, RuntimeError):
+            pass
     if tw or tf:
         spec = _dc.replace(spec, branches=tuple(
             (lvl, _dc.replace(

@@ -133,18 +133,21 @@ class UnimodalBranch(nn.Module):
         v_valid = mapping["view_valid"]
         x_map = mapping["view_feats"]
         attn = None
+        # segment-level BN statistics (DeepSetFeat mlp_set) exclude the
+        # padding drop row — the reference computes them over all N points
+        seg_ok = jnp.arange(num_points + 1) < num_points
         if self.view_pool == "group":
             pooled, attn = GroupViewPool(
                 self.out_channels, num_groups=self.num_groups,
                 use_mod=self.use_mod, gated=self.gated, name="view_pool",
             )(x_view, x_map, pid, v_valid, num_points + 1, train=train,
-              ptr=p_ptr)
+              ptr=p_ptr, seg_valid=seg_ok)
         elif self.view_pool == "qkv":
             pooled, attn = QKVViewPool(
                 self.out_channels, num_groups=self.num_groups,
                 gated=self.gated, name="view_pool",
             )(x_3d, x_view, x_map, pid, v_valid, num_points + 1, train=train,
-              ptr=p_ptr)
+              ptr=p_ptr, seg_valid=seg_ok)
         elif self.view_pool == "heuristic":
             pooled = HeuristicPool(name="view_pool")(
                 x_view, x_map, pid, v_valid, num_points + 1, train=train
@@ -167,7 +170,8 @@ class UnimodalBranch(nn.Module):
         elif self.drop_modality > 0:
             pooled = nn.Dropout(
                 self.drop_modality,
-                deterministic=not self.has_rng("dropout"), name="mod_drop",
+                deterministic=not (train and self.has_rng("dropout")),
+                name="mod_drop",
             )(pooled)
         if x_3d is None:
             out = pooled

@@ -28,9 +28,10 @@ class BimodalFusion(nn.Module):
         if self.mode in ("concatenation", "concat"):
             return jnp.concatenate([x_3d, x_mod], axis=-1)
         if self.mode == "both":
+            # reference order: cat((main, main + mod)) (fusion.py:30)
             if x_mod.shape[-1] != x_3d.shape[-1]:
                 res = nn.Dense(x_3d.shape[-1], use_bias=False, name="proj")(x_mod)
             else:
                 res = x_mod
-            return jnp.concatenate([x_3d + res, x_mod], axis=-1)
+            return jnp.concatenate([x_3d, x_3d + res], axis=-1)
         raise ValueError(self.mode)

@@ -1,6 +1,6 @@
 """MLP with masked BatchNorm — the reference's ``MLP`` Seq building block
-(core/common_modules/base_modules.py:8-170: Linear -> BatchNorm1d -> ReLU per
-layer), validity-mask aware for padded rows."""
+(core/common_modules/base_modules.py:39-49: Linear -> FastBatchNorm1d ->
+LeakyReLU(0.2) per layer), validity-mask aware for padded rows."""
 
 from __future__ import annotations
 
@@ -18,6 +18,8 @@ class MLP(nn.Module):
     norm: bool = True
     final_activation: bool = True
     momentum: float = 0.9
+    # the reference MLP's default activation is LeakyReLU(0.2), not ReLU
+    negative_slope: float = 0.2
 
     @nn.compact
     def __call__(self, x, valid=None, train: bool = True):
@@ -27,5 +29,5 @@ class MLP(nn.Module):
             if self.norm:
                 x = MaskedBatchNorm(momentum=self.momentum)(x, valid, train=train)
             if not last or self.final_activation:
-                x = nn.relu(x)
+                x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         return x

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops import segment as seg
@@ -40,6 +41,8 @@ __all__ = [
     "GroupViewPool",
     "QKVViewPool",
     "expand_group_feat",
+    "group_sizes",
+    "nearest_power_of_2",
     "VIEW_FEATURE_INDEX",
 ]
 
@@ -57,13 +60,33 @@ VIEW_FEATURE_INDEX = {
 }
 
 
+def nearest_power_of_2(x, min_power: int = 16) -> int:
+    """Reference helper (pooling.py:718-735): nearest power of two with a
+    floor — sizes the hidden layer of the ``E_mix`` MLPs."""
+    x = int(x)
+    if x < min_power:
+        return min_power
+    prev_p = 2 ** ((x - 1).bit_length() - 1)
+    next_p = 2 ** (x - 1).bit_length()
+    return prev_p if x - prev_p < next_p - x else next_p
+
+
+def group_sizes(num_channels: int, num_groups: int):
+    """Distribute ``num_channels`` across ``num_groups`` as evenly as
+    possible, first groups taking the remainder (pooling.py:738-745)."""
+    base = num_channels // num_groups
+    rem = num_channels - base * num_groups
+    return [base + (1 if i < rem else 0) for i in range(num_groups)]
+
+
 def expand_group_feat(x, num_groups: int, num_channels: int):
     """Broadcast per-group scalars ``[E, G]`` to channels ``[E, C]``
-    (pooling.py:748: channels are split into G contiguous groups)."""
+    (pooling.py:748-756): channels split into G near-equal contiguous
+    groups, the first ``C mod G`` groups one channel wider."""
     if num_groups == 1:
         return x if x.ndim == 1 else x[:, 0:1]
-    reps = -(-num_channels // num_groups)
-    return jnp.repeat(x, reps, axis=-1)[:, :num_channels]
+    sizes = np.asarray(group_sizes(num_channels, num_groups))
+    return jnp.repeat(x, sizes, axis=-1, total_repeat_length=num_channels)
 
 
 class SegmentPool(nn.Module):
@@ -113,40 +136,50 @@ class Gating(nn.Module):
 
 
 class DeepSetFeat(nn.Module):
-    """Set-aware per-element embedding (pooling.py:604-674).
+    """Set-aware per-element embedding — structurally faithful to the
+    reference ``DeepSetFeat`` (pooling.py:604-674):
 
-    phi-MLP on each element, segment-pooled set features (one or more of
-    max/mean/min/sum), optional ``1/sqrt(n)`` set-size feature, residual or
-    concat fusion back to elements, rho-MLP.
+      ``x = mlp_elt_1(x)``                    2-layer MLP on elements
+      ``x_set = cat(segment_csr(x, p) for p in pool)``  per-SEGMENT
+      ``use_num``: append ``sqrt(1/(n + 1e-3))``        (ref :663-666)
+      ``x_set = mlp_set(x_set)``              2-layer MLP on SEGMENTS
+      gather to elements, fuse (concat / residual / both), ``mlp_elt_2``.
+
+    Defaults mirror the reference signature (``pool='max'``,
+    ``fusion='concatenation'``) except ``use_num=True``, which the flagship
+    configs set explicitly (sparseconv3d.yaml:6667).  ``seg_valid`` masks
+    padded segment rows (e.g. the drop row) out of ``mlp_set``'s BN stats.
     """
 
     out_channels: int
-    pool_modes: Sequence[str] = ("max", "mean")
-    fusion: str = "concat"  # 'residual' | 'concat'
+    pool_modes: Sequence[str] = ("max",)
+    fusion: str = "concatenation"  # 'residual' | 'concatenation' | 'both'
     use_num: bool = True
 
     @nn.compact
     def __call__(self, x, segment_ids, valid, num_segments: int, train=True,
-                 ptr=None):
+                 ptr=None, seg_valid=None):
         d = self.out_channels
-        phi = MLP([d, d], name="phi")(x, valid=valid, train=train)
+        x = MLP([d, d], name="mlp_elt_1")(x, valid=valid, train=train)
         pooled = [
-            seg.segment_reduce(phi, segment_ids, num_segments, m, valid, ptr)
+            seg.segment_reduce(x, segment_ids, num_segments, m, valid, ptr)
             for m in self.pool_modes
         ]
-        set_feat = jnp.concatenate(pooled, axis=-1)[segment_ids]
-        set_feat = MLP([d], name="set_proj")(set_feat, valid=valid, train=train)
+        x_set = jnp.concatenate(pooled, axis=-1)
         if self.use_num:
             n = seg.segment_count(segment_ids, num_segments, valid, ptr)
-            inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(n, 1.0))
-            set_feat = jnp.concatenate(
-                [set_feat, inv_sqrt[segment_ids][:, None]], axis=-1
+            x_set = jnp.concatenate(
+                [x_set, jnp.sqrt(1.0 / (n + 1e-3))[:, None]], axis=-1
             )
+        x_set = MLP([d, d], name="mlp_set")(x_set, valid=seg_valid, train=train)
+        x_set = x_set[segment_ids]
         if self.fusion == "residual":
-            fused = phi + MLP([d], name="resize")(set_feat, valid=valid, train=train)
+            fused = x + x_set
+        elif self.fusion == "both":
+            fused = jnp.concatenate([x, x + x_set], axis=-1)
         else:
-            fused = jnp.concatenate([phi, set_feat], axis=-1)
-        return MLP([d, d], name="rho")(fused, valid=valid, train=train)
+            fused = jnp.concatenate([x, x_set], axis=-1)
+        return MLP([d, d], name="mlp_elt_2")(fused, valid=valid, train=train)
 
 
 class MinMaxDiffSetFeat(nn.Module):
@@ -162,7 +195,7 @@ class MinMaxDiffSetFeat(nn.Module):
 
     @nn.compact
     def __call__(self, x, segment_ids, valid, num_segments: int, train=True,
-                 ptr=None):
+                 ptr=None, seg_valid=None):
         parts = [x]
         if self.use_min:
             mn = seg.segment_reduce(x, segment_ids, num_segments, "min", valid,
@@ -173,10 +206,9 @@ class MinMaxDiffSetFeat(nn.Module):
                                     ptr)
             parts.append(x - mx[segment_ids])
         if self.use_num:
+            # ref heuristic sqrt(1/(n+1e-3)) (pooling.py:589-592)
             n = seg.segment_count(segment_ids, num_segments, valid, ptr)
-            parts.append(
-                (1.0 / jnp.sqrt(jnp.maximum(n, 1e-3)))[segment_ids][:, None]
-            )
+            parts.append(jnp.sqrt(1.0 / (n + 1e-3))[segment_ids][:, None])
         h = jnp.concatenate(parts, axis=-1)
         d = self.out_channels
         # MLP's norm=True path is already bias-free Dense + masked BN,
@@ -207,13 +239,14 @@ class GroupViewPool(nn.Module):
     @nn.compact
     def __call__(
         self, x_mod, x_map, segment_ids, valid, num_segments: int, train=True,
-        ptr=None,
+        ptr=None, seg_valid=None,
     ):
         g = self.num_groups
         c = self.out_channels
         if self.set_encoder == "deepset":
             enc = DeepSetFeat(self.set_channels, name="set_enc")(
-                x_map, segment_ids, valid, num_segments, train=train, ptr=ptr
+                x_map, segment_ids, valid, num_segments, train=train, ptr=ptr,
+                seg_valid=seg_valid,
             )
         elif self.set_encoder == "minmaxdiff":
             enc = MinMaxDiffSetFeat(self.set_channels, name="set_enc")(
@@ -223,18 +256,27 @@ class GroupViewPool(nn.Module):
             enc = MLP([self.set_channels, self.set_channels], name="set_enc")(
                 x_map, valid=valid, train=train
             )
-        score_in = enc
+        # values: 2-layer bias-free MLP as the reference E_mod
+        # (pooling.py:245: MLP([in_mod, out_mod, out_mod]))
+        values = MLP([c, c], name="e_mod")(x_mod, valid=valid, train=train)
         if self.use_mod:
-            mixed = MLP([self.set_channels], name="e_mix")(
-                x_mod, valid=valid, train=train
+            # ref E_mix (pooling.py:250-254): cat(map_enc, values) ->
+            # MLP([in, nearest_pow2((in+out)/2, out*2), out])
+            mid = nearest_power_of_2(
+                (self.set_channels + c + self.set_channels) / 2,
+                self.set_channels * 2,
             )
-            score_in = jnp.concatenate([enc, mixed], axis=-1)
-        compat = nn.Dense(g, name="e_score")(score_in)           # [E, G]
+            x_mix = MLP([mid, self.set_channels], name="e_mix")(
+                jnp.concatenate([enc, values], axis=-1), valid=valid,
+                train=train,
+            )
+            compat = nn.Dense(g, name="e_score")(x_mix)          # [E, G]
+        else:
+            compat = nn.Dense(g, name="e_score")(enc)            # [E, G]
         attn = seg.segment_softmax(
             compat, segment_ids, num_segments, valid=valid,
             scaling=self.scaling, ptr=ptr
         )
-        values = MLP([c], name="e_mod")(x_mod, valid=valid, train=train)
         w = expand_group_feat(attn, g, c)
         pooled = seg.segment_weighted_sum(
             values, w, segment_ids, num_segments, valid, ptr
@@ -258,26 +300,33 @@ class QKVViewPool(nn.Module):
 
     out_channels: int
     num_groups: int = 1
-    qk_channels: int = 8
+    qk_channels: int = 8      # ref nc_qk=8 (pooling.py:372)
+    set_channels: int = 32    # ref nc_inner=32
     gated: bool = True
-    scaling: bool = True
+    scaling: bool = False     # ref group_scaling=False for QKV (pooling.py:373)
     dim_scaling: bool = True
 
     @nn.compact
     def __call__(
         self, x_main, x_mod, x_map, segment_ids, valid, num_segments: int,
-        train=True, ptr=None,
+        train=True, ptr=None, seg_valid=None,
     ):
         g = self.num_groups
         c = self.out_channels
         d = self.qk_channels
-        queries = MLP([g * d], name="e_main")(x_main, train=train)
+        nc = self.set_channels
+        # ref structure (pooling.py:416-451): E_main 2-layer MLP -> Q linear;
+        # DeepSetFeat map encoder -> K linear; E_mod 2-layer MLP values
+        x_main_emb = MLP([nc, nc], name="e_main")(x_main, train=train)
+        queries = nn.Dense(g * d, name="q")(x_main_emb)          # [N, G*d]
         queries = jnp.concatenate(
             [queries, jnp.zeros((num_segments - queries.shape[0], g * d))]
         )                                                            # [S, G*d]
-        keys = DeepSetFeat(g * d, name="key_enc")(
-            x_map, segment_ids, valid, num_segments, train=train, ptr=ptr
-        )                                                            # [E, G*d]
+        enc = DeepSetFeat(nc, name="key_enc")(
+            x_map, segment_ids, valid, num_segments, train=train, ptr=ptr,
+            seg_valid=seg_valid,
+        )
+        keys = nn.Dense(g * d, name="k")(enc)                    # [E, G*d]
         q = queries.reshape(num_segments, g, d)[segment_ids]
         k = keys.reshape(-1, g, d)
         compat = jnp.sum(q * k, axis=-1)                             # [E, G]
@@ -287,7 +336,7 @@ class QKVViewPool(nn.Module):
             compat, segment_ids, num_segments, valid=valid,
             scaling=self.scaling, ptr=ptr
         )
-        values = MLP([c], name="e_mod")(x_mod, valid=valid, train=train)
+        values = MLP([c, c], name="e_mod")(x_mod, valid=valid, train=train)
         pooled = seg.segment_weighted_sum(
             values, expand_group_feat(attn, g, c), segment_ids, num_segments,
             valid, ptr

@@ -95,11 +95,18 @@ def dilated_knn(query, points, k: int, dilation: int, valid=None,
     """Dilated kNN (ref DilatedKNNNeighbourFinder, neighbour_finder.py:131):
     find ``k * dilation`` nearest neighbors, then keep a random ``k`` of
     them per query — a cheap receptive-field expansion.  ``rng`` is a numpy
-    Generator (host-side table construction, like every index table)."""
+    Generator (host-side table construction, like every index table) and is
+    REQUIRED when ``dilation > 1``: a silent seeded default would pick the
+    same "random" subset every call and every epoch, defeating the point."""
     if dilation <= 1:
         return knn(query, points, k, valid=valid, block=block)
+    if rng is None:
+        raise ValueError(
+            "dilated_knn with dilation > 1 needs an explicit numpy Generator "
+            "rng — pass the dataset/epoch rng so the k-of-k*dilation "
+            "subsample actually varies across calls"
+        )
     d, i = knn(query, points, k * dilation, valid=valid, block=block)
-    rng = rng or np.random.default_rng(0)
     # a WITHOUT-replacement pick per row (the reference takes a random
     # permutation slice): per-row random keys -> argpartition of k smallest
     keys = rng.random((len(i), k * dilation))

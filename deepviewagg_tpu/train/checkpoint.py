@@ -28,6 +28,13 @@ class CheckpointManager:
         self._best: Dict[str, float] = {}
         cfg_path = os.path.join(run_dir, "run.json")
         if run_config is not None:
+            # pin the stem kernel into every stored run config: absence is
+            # how load_run_config identifies PRE-kernel-3-default runs (which
+            # must restore under the old default 5), so a freshly written
+            # run.json must always say which kernel it trained with
+            model = run_config.get("model")
+            if isinstance(model, dict):
+                model.setdefault("overrides", {}).setdefault("stem_kernel", 3)
             with open(cfg_path, "w") as f:
                 json.dump(run_config, f, indent=2, default=str)
         elif os.path.exists(cfg_path):

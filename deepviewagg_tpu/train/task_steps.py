@@ -148,9 +148,12 @@ def make_registration_step(model) -> Callable:
             da, upd = model.apply(variables, batch["a"], train=True,
                                   mutable=["batch_stats"],
                                   rngs={"dropout": rng})
-            db, _ = model.apply(variables, batch["b"], train=True,
-                                mutable=["batch_stats"],
-                                rngs={"dropout": rng})
+            # thread the a-pass running stats into the b pass so BatchNorm
+            # accumulates from both fragments, not just fragment a
+            db, upd = model.apply(
+                {"params": params, "batch_stats": upd["batch_stats"]},
+                batch["b"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
             valid_b = batch["b"]["graph"]["levels"][0]["valid"]
             loss = hardest_contrastive(da, db, pairs, valid_b=valid_b)
             return loss, (upd["batch_stats"], da, db)

@@ -1,0 +1,174 @@
+"""Load the reference's pure-torch modules for numerical parity tests.
+
+The reference imports ``torch_scatter`` (a CUDA extension absent here); the
+segment ops it actually uses are small enough to shim exactly in ~50 lines of
+plain torch (semantics per torch_scatter: CSR segment reductions, empty
+segments reduce to 0, scatter_min/max return (values, argindices) with
+``src.size(dim)`` as the empty-slot sentinel).  With the shim registered, the
+reference files ``modules/multimodal/pooling.py`` and ``fusion.py`` are
+executed from /root/reference verbatim — no reference code is copied into
+this repo — giving us the actual PyTorch modules to transplant weights into
+and compare against (VERDICT r2 item #1).
+
+NOTE: this module ships shims written from torch_scatter's documented
+behavior, not torch_scatter code.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import torch
+
+REFERENCE_ROOT = "/root/reference"
+
+
+# ---------------------------------------------------------------- shims ----
+def _seg_ids(indptr: torch.Tensor) -> torch.Tensor:
+    sizes = indptr[1:] - indptr[:-1]
+    return torch.repeat_interleave(torch.arange(sizes.numel()), sizes)
+
+
+def segment_csr(src, indptr, out=None, reduce="sum"):
+    assert out is None
+    indptr = indptr.long()
+    sizes = indptr[1:] - indptr[:-1]
+    n = sizes.numel()
+    seg = _seg_ids(indptr)
+    shape = (n,) + tuple(src.shape[1:])
+    res = torch.zeros(shape, dtype=src.dtype)
+    if reduce in ("sum", "add", "mean"):
+        res.index_add_(0, seg, src)
+        if reduce == "mean":
+            denom = sizes.clamp(min=1).to(src.dtype)
+            res = res / denom.reshape((-1,) + (1,) * (src.dim() - 1))
+    elif reduce in ("min", "max"):
+        # include_self=False: rows with no sources keep the 0 init — the
+        # torch_scatter empty-segment convention
+        res.index_reduce_(0, seg, src, "amax" if reduce == "max" else "amin",
+                          include_self=False)
+    else:
+        raise ValueError(reduce)
+    return res
+
+
+def _scatter_extremum(src, index, dim, dim_size, mode):
+    assert dim in (0, -src.dim()), "shim supports dim=0 only"
+    n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+    shape = (n,) + tuple(src.shape[1:])
+    vals = torch.zeros(shape, dtype=src.dtype)
+    vals.index_reduce_(0, index, src, mode, include_self=False)
+    # arg = first src row attaining the extremum; sentinel src.size(0) when
+    # the slot received nothing
+    pos = torch.arange(src.shape[0])
+    if src.dim() > 1:
+        pos = pos.reshape((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
+    hit = src == vals.index_select(0, index)
+    cand = torch.where(hit, pos, torch.full_like(pos, src.shape[0]))
+    args = torch.full(shape, src.shape[0], dtype=torch.long)
+    args.index_reduce_(0, index, cand.long(), "amin", include_self=False)
+    counts = torch.zeros(n, dtype=torch.long)
+    counts.index_add_(0, index, torch.ones_like(index))
+    empty = counts == 0
+    if empty.any():
+        args[empty] = src.shape[0]
+        vals[empty] = 0
+    return vals, args
+
+
+def scatter_max(src, index, dim=-1, out=None, dim_size=None):
+    assert out is None
+    return _scatter_extremum(src, index, dim, dim_size, "amax")
+
+
+def scatter_min(src, index, dim=-1, out=None, dim_size=None):
+    assert out is None
+    return _scatter_extremum(src, index, dim, dim_size, "amin")
+
+
+def _torch_scatter_module() -> types.ModuleType:
+    mod = types.ModuleType("torch_scatter")
+    mod.segment_csr = segment_csr
+    mod.scatter_max = scatter_max
+    mod.scatter_min = scatter_min
+    return mod
+
+
+# --------------------------------------------------------------- loader ----
+def load_reference_module(relpath: str, name: str):
+    """Execute a reference source file under ``name`` without importing its
+    parent packages' __init__ chain (which pulls CUDA deps)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if "torch_scatter" not in sys.modules:
+        sys.modules["torch_scatter"] = _torch_scatter_module()
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REFERENCE_ROOT}/{relpath}"
+    )
+    module = importlib.util.module_from_spec(spec)
+    orig_script = torch.jit.script
+    torch.jit.script = lambda fn=None, *a, **k: fn  # identity decorator
+    try:
+        sys.modules[name] = module
+        spec.loader.exec_module(module)
+    finally:
+        torch.jit.script = orig_script
+    return module
+
+
+def load_reference_pooling():
+    return load_reference_module(
+        "torch_points3d/modules/multimodal/pooling.py", "ref_mm_pooling"
+    )
+
+
+def load_reference_fusion():
+    return load_reference_module(
+        "torch_points3d/modules/multimodal/fusion.py", "ref_mm_fusion"
+    )
+
+
+# ---------------------------------------------------- weight transplants ----
+def t2j(t):
+    import jax.numpy as jnp
+
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def copy_torch_mlp(sd: dict, prefix: str, tree: dict, stats: dict,
+                   n_layers: int = 2) -> None:
+    """torch_points3d MLP (Seq of [Linear, FastBatchNorm1d, act]) -> this
+    repo's flax MLP (Dense_i + MaskedBatchNorm_i)."""
+    for i in range(n_layers):
+        lin = f"{prefix}.{i}.0"
+        bn = f"{prefix}.{i}.1.batch_norm"
+        tree[f"Dense_{i}"]["kernel"] = t2j(sd[f"{lin}.weight"]).T
+        if f"{lin}.bias" in sd:
+            tree[f"Dense_{i}"]["bias"] = t2j(sd[f"{lin}.bias"])
+        tree[f"MaskedBatchNorm_{i}"]["scale"] = t2j(sd[f"{bn}.weight"])
+        tree[f"MaskedBatchNorm_{i}"]["bias"] = t2j(sd[f"{bn}.bias"])
+        stats[f"MaskedBatchNorm_{i}"]["mean"] = t2j(sd[f"{bn}.running_mean"])
+        stats[f"MaskedBatchNorm_{i}"]["var"] = t2j(sd[f"{bn}.running_var"])
+
+
+def copy_deepset(sd: dict, prefix: str, tree: dict, stats: dict) -> None:
+    for part in ("mlp_elt_1", "mlp_set", "mlp_elt_2"):
+        copy_torch_mlp(sd, f"{prefix}.{part}", tree[part], stats[part])
+
+
+def randomize_torch_module(module, seed: int = 0) -> None:
+    """Replace every parameter AND BN running stat with random values so the
+    transplant comparison exercises non-default weights."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.3)
+        for name, buf in module.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)

@@ -177,22 +177,12 @@ def main(argv=None):
     if cfg.model.tower_weights or cfg.model.tower_frozen:
         from deepviewagg_tpu.utils import pretrained as _pre
 
-        if cfg.model.tower_weights:
-            # MIT-semseg ADE20K encoders use a deep 3-conv stem; sniff the
-            # checkpoint and build matching towers
-            import dataclasses as _dc
-
-            from deepviewagg_tpu.utils.torch_convert import (
-                load_torch_state_dict, strip_prefix)
-
-            _sd = load_torch_state_dict(cfg.model.tower_weights)
-            for _pfx in ("module.", "encoder.", "backbone."):
-                _sd = strip_prefix(_sd, _pfx)
-            if "conv3.weight" in _sd:
-                spec = _dc.replace(spec, branches=tuple(
-                    (lvl, _dc.replace(b, tower_deep_stem=True))
-                    for lvl, b in spec.branches
-                ))
+        # deep-stem sniffing lives in resolve_spec_from_cfg (shared with
+        # eval/predict); persist the outcome so restores never depend on the
+        # tower checkpoint file still existing
+        if cfg.model.tower_weights and spec.branches:
+            cfg.model.overrides.setdefault(
+                "tower_deep_stem", spec.branches[0][1].tower_deep_stem)
 
         if cfg.model.tower_frozen:
             freeze_paths = _pre.freeze_paths_for_spec(spec)
