@@ -19,7 +19,12 @@ __all__ = ["gather_pixel_features"]
 
 
 def _bilinear(maps, img_id, xf, yf):
-    """maps [I, W, H, C]; xf/yf float pixel coords in map units."""
+    """maps [I, W, H, C]; xf/yf float pixel coords in map units.
+
+    Border (replication) padding outside the map — the reference
+    ``sparse_interpolation`` default (image.py:105 ``padding_mode='border'``):
+    out-of-range taps clamp to the edge pixel while the bilinear weights keep
+    their unclamped distances."""
     _, w, h, _ = maps.shape
     x0 = jnp.floor(xf).astype(jnp.int32)
     y0 = jnp.floor(yf).astype(jnp.int32)
@@ -27,11 +32,7 @@ def _bilinear(maps, img_id, xf, yf):
     ty = (yf - y0)[:, None]
 
     def tap(xi, yi):
-        xc = jnp.clip(xi, 0, w - 1)
-        yc = jnp.clip(yi, 0, h - 1)
-        # zero padding outside the map (reference default padding_mode='zeros')
-        inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(maps.dtype)
-        return maps[img_id, xc, yc] * inside[:, None]
+        return maps[img_id, jnp.clip(xi, 0, w - 1), jnp.clip(yi, 0, h - 1)]
 
     return (
         tap(x0, y0) * (1 - tx) * (1 - ty)
@@ -50,8 +51,9 @@ def gather_pixel_features(
     """Per-mapped-pixel features ``[Qc, C]`` (invalid rows -> 0).
 
     Pixel coords live at ``ref_size`` resolution; the feature map may be any
-    resolution — scaling follows grid_sample's align_corners=False center
-    convention: ``xf = (x + 0.5) * Wf / W - 0.5``.
+    resolution — scaling follows the reference's ``get_mapped_features``
+    convention (image.py:1279-1283 + sparse_interpolation:142-146):
+    ``coords = x / (W - 1)`` then ``xf = coords * Wf - 0.5`` in map space.
     """
     i_cap, wf, hf, _ = feature_maps.shape
     w, h = ref_size
@@ -63,8 +65,8 @@ def gather_pixel_features(
     sx = wf / w
     sy = hf / h
     if interpolate:
-        xf = (mapping["pix_x"].astype(jnp.float32) + 0.5) * sx - 0.5
-        yf = (mapping["pix_y"].astype(jnp.float32) + 0.5) * sy - 0.5
+        xf = mapping["pix_x"].astype(jnp.float32) / max(w - 1, 1) * wf - 0.5
+        yf = mapping["pix_y"].astype(jnp.float32) / max(h - 1, 1) * hf - 0.5
         out = _bilinear(feature_maps, img_id, xf, yf)
     else:
         xi = jnp.clip((mapping["pix_x"].astype(jnp.float32) * sx).astype(jnp.int32), 0, wf - 1)

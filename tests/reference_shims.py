@@ -172,3 +172,20 @@ def randomize_torch_module(module, seed: int = 0) -> None:
                 buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
             elif name.endswith("running_var"):
                 buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
+
+
+def load_reference_function(relpath: str, func_name: str, extra_globals=None):
+    """Exec a single top-level function from a reference source file (via
+    AST) without importing the file's heavy module-level dependencies."""
+    import ast
+
+    path = f"{REFERENCE_ROOT}/{relpath}"
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    nodes = [n for n in tree.body
+             if isinstance(n, ast.FunctionDef) and n.name == func_name]
+    assert nodes, f"{func_name} not found in {relpath}"
+    ns = {"torch": torch}
+    ns.update(extra_globals or {})
+    exec(compile(ast.Module(body=nodes, type_ignores=[]), path, "exec"), ns)
+    return ns[func_name]

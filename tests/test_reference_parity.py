@@ -295,3 +295,45 @@ def test_bimodal_fusion_parity(rng, reff, mode):
     vars_ = mod.init(jax.random.PRNGKey(0), jnp.asarray(a), jnp.asarray(b))
     mine = _np(mod.apply(vars_, jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(mine, ref, **TOL)
+
+
+# ------------------------------------------------- bilinear gather ---------
+@pytest.mark.parametrize("scale", [1, 2, 4])
+def test_sparse_interpolation_parity(rng, scale):
+    """gather_pixel_features(interpolate=True) vs the reference's
+    sparse_interpolation + get_mapped_features coord convention
+    (core/multimodal/image.py:105-170,1279-1283)."""
+    from reference_shims import load_reference_function
+
+    sparse_interpolation = load_reference_function(
+        "torch_points3d/core/multimodal/image.py", "sparse_interpolation")
+
+    from deepviewagg_tpu.modules.gather import gather_pixel_features
+
+    W, H = 32, 24                    # mapping (reference) resolution
+    wf, hf = W // scale, H // scale  # feature-map resolution
+    n_img, C, P = 3, 5, 64
+    maps_torch = torch.from_numpy(
+        rng.normal(size=(n_img, C, hf, wf)).astype(np.float32))
+    px = rng.integers(0, W, P)
+    py = rng.integers(0, H, P)
+    img = rng.integers(0, n_img, P)
+
+    # reference: coords = pixels/(res-1) in (y, x) order on (B, C, H, W)
+    coords = torch.from_numpy(
+        np.stack([py / (H - 1), px / (W - 1)], 1).astype(np.float32))
+    ref = sparse_interpolation(maps_torch, coords,
+                               torch.from_numpy(img)).numpy()
+
+    # mine: maps [I, W, H, C]; one view per pixel row, identity image ids
+    maps = jnp.asarray(maps_torch.permute(0, 3, 2, 1).numpy())
+    mapping = {
+        "view_valid": jnp.ones(P, bool),
+        "image_id": jnp.asarray(img.astype(np.int32)),
+        "pix_view": jnp.arange(P, dtype=jnp.int32),
+        "pix_x": jnp.asarray(px.astype(np.int32)),
+        "pix_y": jnp.asarray(py.astype(np.int32)),
+        "pix_valid": jnp.ones(P, bool),
+    }
+    mine = _np(gather_pixel_features(maps, mapping, (W, H), interpolate=True))
+    np.testing.assert_allclose(mine, ref, **TOL)
