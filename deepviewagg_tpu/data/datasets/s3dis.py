@@ -27,7 +27,8 @@ from ...core.cameras import Camera
 from ..geometric import pca_features
 from ..mapping_factory import VisibilityParams, build_mappings
 from ..transforms2d import select_images_by_coverage
-from ..transforms3d import Compose, RandomNoise, RandomRotate, RandomScaleAnisotropic
+from ..transforms3d import (Compose, RandomNoise, RandomRotate,
+                            RandomScaleAnisotropic, RandomSymmetry)
 from .base import AreaCache, SphereDataset, load_area, save_area
 
 __all__ = ["S3DIS_CLASSES", "make_s3dis_dataset", "preprocess_s3dis_area",
@@ -209,6 +210,8 @@ def default_augment() -> Compose:
         RandomNoise(sigma=0.001),
         RandomRotate(axis="z"),
         RandomScaleAnisotropic(0.8, 1.2),
+        # s3disfused-sparse.yaml:57-59: x-axis mirror
+        RandomSymmetry(axes=(True, False, False)),
     ])
 
 

@@ -173,13 +173,16 @@ def pick_images_by_credit(
 
 
 def jitter_mapping_features(
-    cloud: dict, sigma: float = 0.02, rng: Optional[np.random.Generator] = None
+    cloud: dict, sigma: float = 0.02, clip: float = 0.03,
+    rng: Optional[np.random.Generator] = None
 ) -> dict:
-    """Gaussian jitter on the viewing-condition features
-    (JitterMappingFeatures, image.py:934)."""
+    """Clamped gaussian jitter on the viewing-condition features
+    (JitterMappingFeatures, image.py:934-957: sigma=0.02, noise clamped to
+    +-clip=0.03)."""
     m: MultiViewMapping = cloud["mapping"]
     out = dict(cloud)
-    feats = m.view_feats + rng.normal(0, sigma, m.view_feats.shape).astype(
+    noise = rng.normal(0, sigma, m.view_feats.shape)
+    feats = m.view_feats + np.clip(noise, -clip, clip).astype(
         np.float32
     )
     import dataclasses

@@ -107,7 +107,10 @@ class RandomNoise:
 
 
 class RandomSymmetry:
-    def __init__(self, axes=(True, False, False)):
+    """Coin-flip mirror per enabled axis (ref RandomSymmetry,
+    transforms.py:463: default all-off; recipes enable x/y explicitly)."""
+
+    def __init__(self, axes=(False, False, False)):
         self.axes = axes
 
     def __call__(self, cloud, rng):
@@ -127,7 +130,9 @@ class RandomSymmetry:
 class ElasticDistortion:
     """Smoothed random displacement field (grid_transform.py:194-240)."""
 
-    def __init__(self, granularity=(0.2, 0.8), magnitude=(0.04, 0.16)):
+    def __init__(self, granularity=(0.2, 0.8), magnitude=(0.4, 1.6)):
+        # reference defaults (grid_transform.py:211): magnitudes in METERS at
+        # distortion-field strength — 10x weaker values make it a no-op
         self.granularity = granularity
         self.magnitude = magnitude
 
@@ -244,9 +249,9 @@ def quantize_cloud(cloud: dict, voxel_size: float) -> dict:
 
 class SphereCrop:
     """Crop to a random sphere of ``radius`` centered on a random point
-    (ref SphereCrop, transforms.py:910)."""
+    (ref SphereCrop, transforms.py:910; default radius 50 per :922)."""
 
-    def __init__(self, radius: float = 2.0):
+    def __init__(self, radius: float = 50.0):
         self.radius = radius
 
     def __call__(self, cloud, rng):
@@ -328,7 +333,7 @@ class RandomWalkDropout:
     """Delete points visited by a random walk over the kNN graph
     (ref RandomWalkDropout, transforms.py:778): simulates scan shadows."""
 
-    def __init__(self, dropout_ratio: float = 0.04, num_iter: int = 5000,
+    def __init__(self, dropout_ratio: float = 0.05, num_iter: int = 5000,
                  k: int = 8, restart_p: float = 0.04):
         self.ratio = dropout_ratio
         self.num_iter = num_iter
