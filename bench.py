@@ -91,6 +91,67 @@ def _get_batch():
     return batch
 
 
+def _get_recipe_batch():
+    """Flagship-SCALE 2D workload: 1024x512 panoramas (the S3DIS recipe's
+    resolution_2d, conf/s3dis_benchmark.yaml) routed through the crop-group
+    ladder — so the headline bench also measures the model at the recipe's
+    real 2D cost, not a toy 256x128 (VERDICT r2 #3).  Built fresh (the image
+    tensors are too large to commit as a cache)."""
+    import numpy as np
+
+    from deepviewagg_tpu.data.collate import Bucket, collate, device_view
+    from deepviewagg_tpu.data.crop_groups import (assign_crop_groups,
+                                                  crop_ladder,
+                                                  split_mapping_by_bucket)
+    from deepviewagg_tpu.data.toy import toy_samples
+    from deepviewagg_tpu.ops import voxel as _voxel
+
+    image_size = (1024, 512)
+    samples = toy_samples(2, 260.0, image_size, 2, 0.1, 0)
+    ladder = crop_ladder(image_size, min_size=64)
+
+    def cap(x, m=256):
+        return int(-(-int(x * 1.3) // m) * m)
+
+    # measure per-level voxel counts + per-bucket pixel/image maxima
+    coords = np.concatenate([
+        np.concatenate([np.full((len(s.coords), 1), b, np.int32),
+                        s.coords.astype(np.int32)], 1)
+        for b, s in enumerate(samples)
+    ])
+    counts, cur, stride = [len(coords)], coords, 1
+    for _ in range(4):
+        cur, _ = _voxel.downsample_coords(cur, stride * 2)
+        stride *= 2
+        counts.append(len(cur))
+    b_pix = [0] * len(ladder)
+    b_img = [0] * len(ladder)
+    for s in samples:
+        ass = assign_crop_groups({"mapping": s.mapping, "images": s.images},
+                                 ladder)
+        mmp = split_mapping_by_bucket(ass, ladder, include_images=False)
+        for bi, bk in enumerate(mmp["buckets"]):
+            b_pix[bi] += len(bk["pix_view"])
+            b_img[bi] += int((ass["image_bucket"] == bi).sum())
+    views = sum(s.mapping.num_views for s in samples)
+    pix = sum(s.mapping.num_pixels for s in samples)
+    bucket = Bucket(
+        level_caps=[cap(c) for c in counts],
+        num_batches=len(samples),
+        view_cap=cap(views), pix_cap=cap(pix),
+        image_cap=sum(b_img),
+        image_size=image_size,
+        image_ladder=ladder,
+        ladder_image_caps=[max(1, i) for i in b_img],
+        ladder_pix_caps=[max(cap(p), 256) for p in b_pix],
+    )
+    batch = collate(samples, bucket, branch_levels=(0,))
+    n_valid = batch["meta"]["num_valid"]
+    batch = device_view(batch)
+    batch["meta"] = {"num_valid": n_valid}
+    return batch
+
+
 def main():
     import jax
 
@@ -166,6 +227,33 @@ def main():
 
     train_value = n_valid / measure(train_chain)
 
+    # --- recipe-scale 2D: 1024x512 panoramas through the crop ladder ------
+    recipe_value = None
+    try:
+        rbatch = _get_recipe_batch()
+        rn_valid = rbatch.pop("meta")["num_valid"]
+        rbatch = jax.device_put(rbatch)
+        rvars = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), rbatch, train=False
+        )
+        rstate = TrainState.create(rvars, tx)
+        rstep = jax.jit(make_train_step(model), donate_argnums=(0,))
+        rstate, _ = rstep(rstate, rbatch, rng)   # compile + one execution
+
+        def recipe_chain(k):
+            nonlocal rstate
+            t0 = time.perf_counter()
+            for i in range(k):
+                rstate, m = rstep(rstate, rbatch, jax.random.fold_in(rng, i))
+            np.asarray(m["loss"])
+            return time.perf_counter() - t0
+
+        recipe_value = rn_valid / measure(recipe_chain, short=2, long_=6,
+                                          reps=2)
+    except Exception as e:  # keep the primary metric alive on OOM etc.
+        print(f"recipe-scale bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     base = {}
     if os.path.exists(BASELINE_FILE):
         try:
@@ -173,7 +261,10 @@ def main():
         except Exception:
             pass
     changed = False
-    for key, v in (("value", fwd_value), ("train_value", train_value)):
+    pairs = [("value", fwd_value), ("train_value", train_value)]
+    if recipe_value is not None:
+        pairs.append(("recipe2d_train_value", recipe_value))
+    for key, v in pairs:
         if key not in base:
             base[key] = v
             changed = True
@@ -183,14 +274,19 @@ def main():
         except OSError:
             pass
 
-    print(json.dumps({
+    result = {
         "metric": "train_step_voxels_per_sec_per_chip",
         "value": round(train_value, 1),
         "unit": "voxels/s",
         "vs_baseline": round(train_value / base["train_value"], 4),
         "forward_voxels_per_sec": round(fwd_value, 1),
         "forward_vs_baseline": round(fwd_value / base["value"], 4),
-    }))
+    }
+    if recipe_value is not None:
+        result["recipe2d_train_voxels_per_sec"] = round(recipe_value, 1)
+        result["recipe2d_vs_baseline"] = round(
+            recipe_value / base["recipe2d_train_value"], 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

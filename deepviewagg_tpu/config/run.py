@@ -65,6 +65,8 @@ class TrainingCfg:
     grad_clip: Optional[float] = 10.0
     grad_accumulate: int = 1
     lovasz_weight: float = 0.0
+    # view-level loss weight (no3d.py:139-155; needs a no3d model)
+    view_loss_weight: float = 0.0
     eval_frequency: int = 1
     data_parallel: bool = False
     run_dir: Optional[str] = None

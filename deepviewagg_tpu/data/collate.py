@@ -46,6 +46,10 @@ class Sample:
     labels: np.ndarray                 # int32 [n], -1 ignore
     images: Optional[np.ndarray] = None      # f32 [m, W, H, 3]
     mapping: Optional[MultiViewMapping] = None
+    # camera-family index per image (pinhole / fisheye ...): when set, the
+    # collate routes each image through its family's native-aspect bucket
+    # (ref SameSettingImageData settings groups, image.py:177,1208-1219)
+    image_family: Optional[np.ndarray] = None
     pos: Optional[np.ndarray] = None   # f32 [n, 3] raw positions (trackers)
     origin_id: Optional[np.ndarray] = None   # int64 [n] raw-cloud row ids
     cloud: Optional[str] = None        # source cloud key (vote accumulation)
@@ -126,9 +130,21 @@ def collate(
             # coords never change across stride merges) — build them ONCE;
             # per level only the view/pixel tables are recomputed
             padded0 = merged0.pad(bucket.view_cap, bucket.pix_cap)
-            cloud0 = assign_crop_groups(
-                {"mapping": padded0, "images": imgs}, ladder
-            )
+            if all(s.image_family is not None for s in samples):
+                # camera families: each image's bucket is its camera family
+                # at the family's native size (origin 0 on the storage
+                # canvas), NOT a bbox-fitted crop
+                fams = np.concatenate(
+                    [np.asarray(s.image_family, np.int64) for s in samples]
+                ) if samples else np.zeros(0, np.int64)
+                cloud0 = {
+                    "image_bucket": fams,
+                    "crop_origin": np.zeros((len(fams), 2), np.int64),
+                }
+            else:
+                cloud0 = assign_crop_groups(
+                    {"mapping": padded0, "images": imgs}, ladder
+                )
             mappings = {}
             bucket_images = None
             m = merged0

@@ -142,6 +142,10 @@ class SphereDataset:
     # s3disfused-sparse.yaml:162: brightness/contrast/saturation)
     color_jitter: Optional[Sequence[float]] = None
     blur_p: float = 0.0                      # GaussianBlur probability
+    # camera-family native sizes [(w, h), ...] when samples carry
+    # image_family (per-family shape buckets, ref SameSettingImageData
+    # settings groups image.py:1208-1219); None = single image shape
+    image_families: Optional[Sequence[Sequence[int]]] = None
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -251,16 +255,31 @@ class SphereDataset:
                     sub["images"] = transforms2d.gaussian_blur(
                         sub["images"], self._rng
                     )
-            elif sub["mapping"].num_images > self.image_slots:
-                # eval: deterministic max-coverage subset (same criterion as
-                # preprocess selection; the reference applies pixel credit at
-                # eval too — top-view-count alone throws away coverage on
-                # image-dense scans)
-                keep = transforms2d.select_images_by_coverage(
-                    sub["mapping"], self.image_slots
-                )
-                sub["mapping"] = sub["mapping"].select_images(keep).compact()
-                sub["images"] = sub["images"][keep]
+            else:
+                # eval: deterministic max-coverage selection under the
+                # PIXEL budget (the reference applies its memory credit at
+                # eval too, PickImagesFromMemoryCredit image.py:765-874);
+                # budget = image_slots x base-image pixels, per-image cost
+                # from the camera-family size when families exist
+                fam = sub.get("image_family")
+                if fam is not None and self.image_families is not None:
+                    unit = int(np.prod(self.image_families[0]))
+                    image_px = np.array(
+                        [int(np.prod(self.image_families[int(f)]))
+                         for f in fam], np.int64)
+                elif sub.get("images") is not None and len(sub["images"]):
+                    unit = int(np.prod(sub["images"].shape[1:3]))
+                    image_px = np.full(sub["mapping"].num_images, unit,
+                                       np.int64)
+                else:
+                    unit, image_px = 1, np.ones(
+                        sub["mapping"].num_images, np.int64)
+                budget = self.image_slots * unit
+                if image_px.sum() > budget:
+                    keep = transforms2d.select_images_by_credit(
+                        sub["mapping"], budget, image_px
+                    )
+                    sub = transforms2d._select_cloud_images(sub, keep)
         if needs_normalize and sub.get("images") is not None:
             # materialize only the selected slots as normalized float32
             sub["images"] = transforms2d.normalize_images(sub["images"])
@@ -271,6 +290,7 @@ class SphereDataset:
         return Sample(
             coords=sub["coords"], feats=feats, labels=sub.get("labels"),
             images=sub.get("images"), mapping=sub.get("mapping"),
+            image_family=sub.get("image_family"),
             pos=sub["pos"], origin_id=sub.get("origin_id"),
             cloud=self.areas.paths[ai],
         )
@@ -347,7 +367,7 @@ class BatchLoader:
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 continue
-            images, mapping = s.images, s.mapping
+            images, mapping, family = s.images, s.mapping, s.image_family
             if mapping is not None:
                 m = mapping.select_points(idx).compact()
                 # drop images no surviving view references (an empty image
@@ -355,6 +375,8 @@ class BatchLoader:
                 keep = np.unique(m.image_id[m.view_valid])
                 mapping = m.select_images(keep).compact()
                 images = s.images[keep]
+                if family is not None:
+                    family = np.asarray(family)[keep]
             parts.extend(self._split_sample(_dc.replace(
                 s,
                 coords=s.coords[idx],
@@ -364,6 +386,7 @@ class BatchLoader:
                 origin_id=None if s.origin_id is None else s.origin_id[idx],
                 images=images,
                 mapping=mapping,
+                image_family=family,
             ), depth + 1))
         return parts
 

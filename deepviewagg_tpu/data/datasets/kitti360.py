@@ -254,12 +254,48 @@ def window_cameras(
     return out
 
 
+def _family_non_static(mapping, images, families, n_sample: int = 5):
+    """Per-camera-family NonStaticMask: the reference computes static-pixel
+    masks per camera setting (NonStaticMask over same-setting images,
+    image.py:106-158); masking across families would compare pinhole pixels
+    against fisheye pixels."""
+    from ..transforms2d import non_static_mask
+
+    keep = np.ones(mapping.pixel_capacity, bool)
+    vc = mapping.view_capacity
+    pv = np.minimum(mapping.pix_view, vc - 1)
+    pix_img = mapping.image_id[pv]
+    for fam in np.unique(families):
+        ids = np.nonzero(families == fam)[0]
+        if len(ids) < 2:
+            continue
+        mask = non_static_mask(images[ids], n_sample=n_sample)
+        if mask.all():
+            continue
+        static = ~mask[np.clip(mapping.pix_x, 0, mask.shape[0] - 1),
+                       np.clip(mapping.pix_y, 0, mask.shape[1] - 1)]
+        keep &= ~(np.isin(pix_img, ids) & static & mapping.pix_valid)
+    return mapping.drop_pixels(keep)
+
+
 def preprocess_kitti360_window(
     root: str, window_ply: str, out_dir: str, voxel_size: float = 0.05,
-    image_size=(704, 188), frame_step: int = 10,
+    image_size=(704, 188), fisheye_size=(350, 350), frame_step: int = 10,
     max_images: Optional[int] = 30,
-    use_fisheye: bool = False,
+    use_fisheye: bool = True,
 ) -> str:
+    """Window preprocess with per-camera-family image buckets.
+
+    cam0 pinhole frames live at ``image_size`` (family 0); cam2/cam3 MEI
+    fisheye frames at their NATIVE 1:1 aspect ``fisheye_size`` (family 1) —
+    the reference batches each camera family at its own resolution
+    (``SameSettingImageData`` settings groups, image.py:177,1208-1219).
+    Storage is one uint8 canvas of the max family size, each frame at origin
+    (0, 0); collate re-splits per family through the ladder buckets.
+    ``frame_step`` / ``max_images`` are config surface (kitti360-sparse
+    selects per-window images by mapping coverage, multimodal/kitti360.py:
+    472-537).
+    """
     os.makedirs(out_dir, exist_ok=True)
     seq, start, end = _window_key(window_ply)
     out_path = os.path.join(out_dir, f"{seq}_{start:010d}_{end:010d}.npz")
@@ -272,10 +308,15 @@ def preprocess_kitti360_window(
     g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
     geo = pca_features(g["pos"], k=50)
     cams_meta = window_cameras(root, seq, start, end, image_size, frame_step)
+    families = [0] * len(cams_meta)
+    family_sizes = [tuple(image_size)]
     if use_fisheye:
-        # fisheye frames share the pinhole image_size bucket (resized)
-        cams_meta += fisheye_cameras(root, seq, start, end, image_size,
-                                     frame_step)
+        fmeta = fisheye_cameras(root, seq, start, end, fisheye_size,
+                                frame_step)
+        cams_meta += fmeta
+        families += [1] * len(fmeta)
+        family_sizes.append(tuple(fisheye_size))
+    families = np.asarray(families, np.int64)
     cams = [c["camera"] for c in cams_meta]
     mapping = build_mappings(
         g["pos"], cams, VisibilityParams(voxel=voxel_size, exact=False),
@@ -287,19 +328,23 @@ def preprocess_kitti360_window(
         keep = select_images_by_coverage(mapping, max_images)
         mapping = mapping.select_images(keep).compact()
         cams_meta = [cams_meta[i] for i in keep]
-    images = (np.stack([_load_image(c["path"], image_size)
-                        for c in cams_meta])
-              if cams_meta else np.zeros((0,) + tuple(image_size) + (3,),
-                                         np.uint8))
-    from .s3dis import _apply_non_static_mask
+        families = families[keep]
+    canvas = (max(s[0] for s in family_sizes),
+              max(s[1] for s in family_sizes))
+    images = np.zeros((len(cams_meta),) + canvas + (3,), np.uint8)
+    for i, c in enumerate(cams_meta):
+        w, h = family_sizes[families[i]]
+        images[i, :w, :h] = _load_image(c["path"], (w, h))
 
-    mapping = _apply_non_static_mask(mapping, images)
+    mapping = _family_non_static(mapping, images, families)
     save_area(out_path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
         "normal": geo["normal"],
         "mapping": mapping,
         "images": images,
+        "image_family": families,
+        "family_sizes": np.asarray(family_sizes, np.int64),
     })
     return out_path
 
@@ -319,6 +364,9 @@ def make_kitti360_dataset(
     sequences: Optional[List[str]] = None, **preprocess_kw,
 ) -> CylinderDataset:
     cache_dir = cache_dir or os.path.join(root, "processed_dva")
+    use_fisheye = preprocess_kw.setdefault("use_fisheye", True)
+    image_size = tuple(preprocess_kw.get("image_size", (704, 188)))
+    fisheye_size = tuple(preprocess_kw.get("fisheye_size", (350, 350)))
     split = "train" if train else "val"
     plys = []
     pattern = os.path.join(root, "data_3d_semantics", "*", "static", "*.ply")
@@ -362,6 +410,8 @@ def make_kitti360_dataset(
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
         # kitti360-sparse.yaml:135 radiometric augmentation
         color_jitter=(0.6, 0.6, 0.7) if train else None,
+        # pinhole + native-aspect fisheye camera-family buckets
+        image_families=([image_size, fisheye_size] if use_fisheye else None),
     )
 
 

@@ -62,13 +62,7 @@ def pick_images_by_area(
     keep = np.nonzero(counts >= min_points)[0]
     if len(keep) == m.num_images:
         return cloud
-    out = dict(cloud)
-    out["mapping"] = m.select_images(keep).compact()
-    if cloud.get("images") is not None:
-        out["images"] = cloud["images"][keep]
-    if cloud.get("cameras") is not None:
-        out["cameras"] = [cloud["cameras"][i] for i in keep]
-    return out
+    return _select_cloud_images(cloud, keep)
 
 
 def select_images_by_coverage(m: MultiViewMapping, n: int) -> np.ndarray:
@@ -124,6 +118,48 @@ def select_images_by_coverage(m: MultiViewMapping, n: int) -> np.ndarray:
     return np.sort(np.asarray(picked, np.int64))
 
 
+def select_images_by_credit(
+    m: MultiViewMapping, budget_px: int, image_px: np.ndarray
+) -> np.ndarray:
+    """Deterministic greedy max-coverage selection under a PIXEL budget —
+    the reference's eval-time ``PickImagesFromMemoryCredit`` semantics
+    (image.py:765-874: total pixel credit, drop images exceeding the
+    remaining credit) with the stochastic sampling replaced by the
+    deterministic coverage argmax.  With uniform ``image_px`` this
+    degenerates to :func:`select_images_by_coverage` with
+    ``n = budget_px // image_px``; with camera families / crop buckets,
+    cheap (small) images stop competing against panoramas for slots."""
+    image_px = np.asarray(image_px, np.int64)
+    if image_px.sum() <= budget_px:
+        return np.arange(m.num_images)
+    v = m.view_valid
+    img_of_view = m.image_id[v].astype(np.int64)
+    pid_of_view = m.point_id[v].astype(np.int64)
+    totals = np.bincount(img_of_view, minlength=m.num_images).astype(np.int64)
+    unseen = np.ones(m.num_points, bool)
+    remaining = np.ones(m.num_images, bool)
+    budget = int(budget_px)
+    picked = []
+    while True:
+        fits = remaining & (image_px <= budget)
+        if not fits.any():
+            break
+        gain = np.bincount(
+            img_of_view, weights=unseen[pid_of_view].astype(np.float64),
+            minlength=m.num_images)
+        score = np.where(fits, gain * (totals.max() + 1) + totals, -1.0)
+        choice = int(np.argmax(score))
+        if score[choice] < 0:
+            break
+        picked.append(choice)
+        remaining[choice] = False
+        budget -= int(image_px[choice])
+        unseen[pid_of_view[img_of_view == choice]] = False
+    if not picked:   # budget below the smallest image: keep the best one
+        return select_images_by_coverage(m, 1)
+    return np.sort(np.asarray(picked, np.int64))
+
+
 def pick_images_by_credit(
     cloud: dict,
     n_slots: int,
@@ -163,13 +199,7 @@ def pick_images_by_credit(
         remaining[choice] = False
         unseen[pid_of_view[img_of_view == choice]] = False
     picked = np.sort(np.array(picked, np.int64))
-    out = dict(cloud)
-    out["mapping"] = m.select_images(picked).compact()
-    if cloud.get("images") is not None:
-        out["images"] = cloud["images"][picked]
-    if cloud.get("cameras") is not None:
-        out["cameras"] = [cloud["cameras"][i] for i in picked]
-    return out
+    return _select_cloud_images(cloud, picked)
 
 
 def jitter_mapping_features(
@@ -472,6 +502,8 @@ def _select_cloud_images(cloud: dict, keep: np.ndarray) -> dict:
         out["mapping"] = cloud["mapping"].select_images(keep).compact()
     if cloud.get("images") is not None:
         out["images"] = cloud["images"][keep]
+    if cloud.get("image_family") is not None:
+        out["image_family"] = np.asarray(cloud["image_family"])[keep]
     if cloud.get("cameras") is not None:
         out["cameras"] = [cloud["cameras"][i] for i in keep]
     if cloud.get("cam_pos") is not None:

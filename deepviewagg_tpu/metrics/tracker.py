@@ -65,17 +65,56 @@ class VoteAccumulator:
     ``add(cloud, origin_ids, logits)`` accumulates; ``full_res_preds`` remaps
     votes to the raw cloud with 1-NN interpolation for unpredicted points
     (knn_interpolate(k=1), s3dis_tracker.py:94-120).
+
+    Past ``ram_budget_bytes`` of live vote arrays, new clouds spill to
+    memmap'd ``.npy`` files under a private tempdir — the reference's
+    KITTI-360 out-of-core per-window vote files (kitti360_tracker.py:
+    110-154,340-368): a full-res val split at KITTI-360 scale holds tens of
+    GB of float32 votes that must not be RAM-resident.
     """
 
-    def __init__(self, num_classes: int):
+    def __init__(self, num_classes: int,
+                 ram_budget_bytes: Optional[int] = None):
         self.num_classes = num_classes
         self._votes: Dict[str, np.ndarray] = {}
         self._counts: Dict[str, np.ndarray] = {}
+        self._ram_budget = ram_budget_bytes
+        self._ram_bytes = 0
+        self._tempdir = None
+        self.spilled: int = 0   # diagnostic: clouds living on disk
+
+    def _spill_dir(self) -> str:
+        if self._tempdir is None:
+            import tempfile
+
+            self._tempdir = tempfile.TemporaryDirectory(prefix="dva_votes_")
+        return self._tempdir.name
+
+    def _alloc(self, cloud: str, size: int):
+        nbytes = size * (4 * self.num_classes + 4)
+        if (self._ram_budget is not None
+                and self._ram_bytes + nbytes > self._ram_budget):
+            import hashlib
+            import os
+
+            key = hashlib.sha1(cloud.encode()).hexdigest()[:16]
+            d = self._spill_dir()
+            self._votes[cloud] = np.lib.format.open_memmap(
+                os.path.join(d, f"{key}_votes.npy"), mode="w+",
+                dtype=np.float32, shape=(size, self.num_classes))
+            self._counts[cloud] = np.lib.format.open_memmap(
+                os.path.join(d, f"{key}_counts.npy"), mode="w+",
+                dtype=np.int32, shape=(size,))
+            self.spilled += 1
+        else:
+            self._votes[cloud] = np.zeros((size, self.num_classes),
+                                          np.float32)
+            self._counts[cloud] = np.zeros((size,), np.int32)
+            self._ram_bytes += nbytes
 
     def add(self, cloud: str, size: int, origin_ids, logits):
         if cloud not in self._votes:
-            self._votes[cloud] = np.zeros((size, self.num_classes), np.float32)
-            self._counts[cloud] = np.zeros((size,), np.int32)
+            self._alloc(cloud, size)
         ids = np.asarray(origin_ids)
         np.add.at(self._votes[cloud], ids, np.asarray(logits, np.float32))
         np.add.at(self._counts[cloud], ids, 1)

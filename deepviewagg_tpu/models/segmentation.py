@@ -85,7 +85,14 @@ class ModelSpec:
     stem_kernel: int = 3
 
     def branch_levels(self):
-        return dict(self.branches)
+        """level -> [BranchSpec, ...]; several branches may share a level
+        (the published KITTI-360 PointPyramid fuses FIVE truncation towers
+        at level 0, sparseconv3d.yaml:7275-7352 branching_index [0..4] with
+        n_early_conv=5)."""
+        out: Dict[int, list] = {}
+        for lvl, b in self.branches:
+            out.setdefault(lvl, []).append(b)
+        return out
 
 
 def make_tower(name: str, norm: str = "group", deep_stem: bool = False):
@@ -171,48 +178,55 @@ class MultimodalSeg(nn.Module):
         x_seen_all = None
 
         def run_branch(level, x):
-            spec: BranchSpec = branch_at[level]
-            tower, c2 = make_tower(spec.tower, spec.tower_norm,
-                                   spec.tower_deep_stem)
-            mm = batch["mappings"][level]
-            if "buckets" in mm:
-                # crop-group families (Bucket.image_ladder collate path)
-                from ..modules.multibucket import MultiBucketBranch
+            seen_all = None
+            for k, spec in enumerate(branch_at[level]):
+                # first branch keeps the legacy scope name so single-branch
+                # checkpoints stay loadable
+                name = f"branch_l{level}" if k == 0 else f"branch_l{level}_{k}"
+                tower, c2 = make_tower(spec.tower, spec.tower_norm,
+                                       spec.tower_deep_stem)
+                mm = batch["mappings"][level]
+                if "buckets" in mm:
+                    # crop-group families (Bucket.image_ladder collate path)
+                    from ..modules.multibucket import MultiBucketBranch
 
-                branch = MultiBucketBranch(
-                    tower=tower,
-                    out_channels=spec.out_channels,
-                    atomic_reduce=spec.atomic_reduce,
-                    view_pool=spec.view_pool,
-                    num_groups=spec.num_groups,
-                    gated=spec.gated,
-                    interpolate=spec.interpolate,
-                    fusion_mode=spec.fusion_mode,
-                    frozen=spec.frozen,
-                    name=f"branch_l{level}",
-                )
-                return branch(x, mm, train=train,
-                              bucket_images=batch.get("bucket_images"))
-            branch = UnimodalBranch(
-                tower=tower,
-                out_channels=spec.out_channels,
-                atomic_reduce=spec.atomic_reduce,
-                view_pool=spec.view_pool,
-                num_groups=spec.num_groups,
-                use_mod=spec.use_mod,
-                gated=spec.gated,
-                interpolate=spec.interpolate,
-                drop_modality=spec.drop_modality,
-                drop_hard=spec.drop_hard,
-                fusion_mode=spec.fusion_mode,
-                remat_tower=spec.remat_tower,
-                frozen=spec.frozen,
-                name=f"branch_l{level}",
-            )
-            x, seen, _ = branch(
-                x, images, batch["mappings"][level], ref_size, train=train
-            )
-            return x, seen
+                    branch = MultiBucketBranch(
+                        tower=tower,
+                        out_channels=spec.out_channels,
+                        atomic_reduce=spec.atomic_reduce,
+                        view_pool=spec.view_pool,
+                        num_groups=spec.num_groups,
+                        gated=spec.gated,
+                        interpolate=spec.interpolate,
+                        fusion_mode=spec.fusion_mode,
+                        frozen=spec.frozen,
+                        name=name,
+                    )
+                    x, seen = branch(x, mm, train=train,
+                                     bucket_images=batch.get("bucket_images"))
+                else:
+                    branch = UnimodalBranch(
+                        tower=tower,
+                        out_channels=spec.out_channels,
+                        atomic_reduce=spec.atomic_reduce,
+                        view_pool=spec.view_pool,
+                        num_groups=spec.num_groups,
+                        use_mod=spec.use_mod,
+                        gated=spec.gated,
+                        interpolate=spec.interpolate,
+                        drop_modality=spec.drop_modality,
+                        drop_hard=spec.drop_hard,
+                        fusion_mode=spec.fusion_mode,
+                        remat_tower=spec.remat_tower,
+                        frozen=spec.frozen,
+                        name=name,
+                    )
+                    x, seen, _ = branch(
+                        x, images, mm, ref_size, train=train
+                    )
+                if seen is not None:
+                    seen_all = seen if seen_all is None else (seen_all | seen)
+            return x, seen_all
 
         # branching_index 0 runs on the RAW point features and the stem
         # consumes the fused result — the reference's early placement (its
@@ -280,10 +294,19 @@ class No3DSeg(nn.Module):
             None, images, batch["mappings"][level], ref_size, train=train,
             num_points=num_points,
         )
-        h = nn.Dense(bspec.out_channels, name="mlp1")(pooled)
-        h = nn.relu(h)
-        logits = nn.Dense(self.spec.num_classes, name="head")(h)
-        return {"logits": logits, "x_seen": x_seen, "view_extras": extras}
+        mlp1 = nn.Dense(bspec.out_channels, name="mlp1")
+        head = nn.Dense(self.spec.num_classes, name="head")
+        logits = head(nn.relu(mlp1(pooled)))
+        out = {"logits": logits, "x_seen": x_seen, "view_extras": extras}
+        # per-view logits through the SAME head — the reference's view-level
+        # loss scores each view against its point's label before pooling
+        # (no3d.py:139-155, keep_last_view tensors).  Only when the saved
+        # per-view features share the pooled width (plain mean/max pools,
+        # incl. the published light model); attention pools save the
+        # PRE-projection tower features, which the shared head cannot score.
+        if extras and extras["x_view"].shape[-1] == pooled.shape[-1]:
+            out["view_logits"] = head(nn.relu(mlp1(extras["x_view"])))
+        return out
 
 
 class LateFusionSeg(nn.Module):

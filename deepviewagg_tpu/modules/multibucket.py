@@ -103,27 +103,24 @@ class MultiBucketBranch(nn.Module):
 
     @staticmethod
     def _gather(feature_maps, bucket, ref_size):
-        """Bilinear sample at pixel coords with a per-pixel image index."""
-        import jax
-
+        """Bilinear sample at pixel coords with a per-pixel image index —
+        same convention as :func:`modules.gather.gather_pixel_features`
+        (ref sparse_interpolation, image.py:105-170: coords / (size - 1),
+        scale by the feature-map size, border padding)."""
         _, wf, hf, _ = feature_maps.shape
         w, h = ref_size
         img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0,
                           feature_maps.shape[0] - 1)
-        sx, sy = wf / w, hf / h
-        xf = (jnp.asarray(bucket["pix_x"], jnp.float32) + 0.5) * sx - 0.5
-        yf = (jnp.asarray(bucket["pix_y"], jnp.float32) + 0.5) * sy - 0.5
+        xf = jnp.asarray(bucket["pix_x"], jnp.float32) / max(w - 1, 1) * wf - 0.5
+        yf = jnp.asarray(bucket["pix_y"], jnp.float32) / max(h - 1, 1) * hf - 0.5
         x0 = jnp.floor(xf).astype(jnp.int32)
         y0 = jnp.floor(yf).astype(jnp.int32)
         tx = (xf - x0)[:, None]
         ty = (yf - y0)[:, None]
 
         def tap(xi, yi):
-            xc = jnp.clip(xi, 0, wf - 1)
-            yc = jnp.clip(yi, 0, hf - 1)
-            inside = ((xi >= 0) & (xi < wf) & (yi >= 0)
-                      & (yi < hf)).astype(feature_maps.dtype)
-            return feature_maps[img_id, xc, yc] * inside[:, None]
+            return feature_maps[img_id, jnp.clip(xi, 0, wf - 1),
+                                jnp.clip(yi, 0, hf - 1)]
 
         out = (tap(x0, y0) * (1 - tx) * (1 - ty)
                + tap(x0 + 1, y0) * tx * (1 - ty)

@@ -55,6 +55,7 @@ def make_train_step(
     axis: Optional[str] = None,
     class_weights=None,
     ignore_unseen: Optional[bool] = None,
+    view_loss_weight: float = 0.0,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -63,6 +64,9 @@ def make_train_step(
     ``ignore_unseen``: mask points no view reaches out of the loss — the
     reference does this for the image-only No3D models (no3d.py:130-134),
     where unseen points carry no signal; defaults to True for No3DSeg.
+    ``view_loss_weight``: adds the reference's view-level loss — per-view
+    NLL against the owning point's label over the ``keep_last_view``
+    tensors (no3d.py:139-155); needs a model emitting ``view_logits``.
     """
     if ignore_unseen is None:
         from ..models.segmentation import No3DSeg
@@ -87,6 +91,14 @@ def make_train_step(
                 out["logits"], batch["labels"], loss_valid, lovasz_weight,
                 class_weights,
             )
+            if view_loss_weight > 0 and "view_logits" in out:
+                from ..models.losses import view_level_loss
+
+                ex = out["view_extras"]
+                loss = loss + view_loss_weight * view_level_loss(
+                    out["view_logits"], batch["labels"],
+                    ex["view_point_id"], ex["view_valid"],
+                )
             return loss, (updates["batch_stats"], out["logits"])
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
@@ -135,9 +147,14 @@ def make_eval_step(model, axis: Optional[str] = None,
             train=False,
             rngs=rngs,
         )
-        return {
+        res = {
             "logits": out["logits"],
             "preds": jnp.argmax(out["logits"], axis=-1),
         }
+        if "x_seen" in out:
+            # surfaced so eval can copy nearest-seen logits onto unseen
+            # points (no3d.py:105-126 propagate_unseen)
+            res["x_seen"] = out["x_seen"]
+        return res
 
     return step

@@ -30,6 +30,7 @@ class TrainerConfig:
     epochs: int = 100
     eval_frequency: int = 1
     lovasz_weight: float = 0.0
+    view_loss_weight: float = 0.0
     base_lr: float = 0.1
     lr_schedule: str = "multi_step"
     lr_milestones: tuple = ()
@@ -111,6 +112,7 @@ class Trainer:
             model, cfg.lovasz_weight, axis=axis,
             class_weights=(None if cfg.class_weights is None
                            else list(cfg.class_weights)),
+            view_loss_weight=cfg.view_loss_weight,
         )
         eval_step = make_eval_step(model)
         self._bn_momentum = None

@@ -31,24 +31,36 @@ __all__ = ["apply_tower_weights", "tower_param_path", "freeze_paths_for_spec"]
 _WRAPPED = {"resnet18_ppm": ("ResNet18_0",), "resnet18_pyramid": ("ResNet18_0",)}
 
 
-def _branch_scope(spec, level: int) -> str:
+def _branch_scope(spec, level: int, k: int = 0) -> str:
     """Flax scope of the image branch: MultimodalSeg names per-level
-    ``branch_l{level}``; the no3d / late-fusion families use one ``branch``."""
+    ``branch_l{level}`` (``branch_l{level}_{k}`` for the k-th extra branch
+    sharing a level, e.g. the five PointPyramid towers); the no3d /
+    late-fusion families use one ``branch``."""
     if spec.family in ("no3d", "late_feature", "late_logit"):
         return "branch"
-    return f"branch_l{level}"
+    return f"branch_l{level}" if k == 0 else f"branch_l{level}_{k}"
 
 
-def tower_param_path(spec, level: int, bspec) -> Tuple[str, ...]:
+def iter_branches(spec):
+    """(level, k, bspec) with k counting branches sharing a level."""
+    counts = {}
+    for level, b in spec.branches:
+        k = counts.get(level, 0)
+        counts[level] = k + 1
+        yield level, k, b
+
+
+def tower_param_path(spec, level: int, bspec, k: int = 0) -> Tuple[str, ...]:
     """Path of the trunk's parameter subtree inside the variables pytree."""
-    return (_branch_scope(spec, level), "tower") + _WRAPPED.get(bspec.tower, ())
+    return (_branch_scope(spec, level, k), "tower") + _WRAPPED.get(
+        bspec.tower, ())
 
 
 def freeze_paths_for_spec(spec):
     """Param-path prefixes to mask out of the optimizer for frozen towers."""
     return tuple(
-        (_branch_scope(spec, level), "tower")
-        for level, b in spec.branches
+        (_branch_scope(spec, level, k), "tower")
+        for level, k, b in iter_branches(spec)
         if b.frozen
     )
 
@@ -75,7 +87,7 @@ def apply_tower_weights(variables, spec, path: str):
             "spec (torch checkpoints carry BatchNorm statistics)"
         )
     deep = "conv3.weight" in sd  # MIT-semseg deep stem
-    for level, b in spec.branches:
+    for level, k, b in iter_branches(spec):
         if deep != b.tower_deep_stem:
             raise ValueError(
                 "checkpoint stem does not match the tower: "
@@ -84,7 +96,7 @@ def apply_tower_weights(variables, spec, path: str):
                 "from the checkpoint)"
             )
         params, stats = convert_resnet18(sd, out_level=_out_level(b.tower))
-        tpath = tower_param_path(spec, level, b)
+        tpath = tower_param_path(spec, level, b, k)
         variables = merge_tower_params(variables, tpath, params, stats)
         if b.tower == "resnet18_ppm":
             # PPM decoder weights ride in the same dict under decoder-style
@@ -102,7 +114,7 @@ def apply_tower_weights(variables, spec, path: str):
                 h_params, h_stats = convert_ppm_head(dsd)
                 variables = merge_tower_params(
                     variables,
-                    (_branch_scope(spec, level), "tower", "PPM_0"),
+                    (_branch_scope(spec, level, k), "tower", "PPM_0"),
                     h_params, h_stats,
                 )
     return variables
@@ -114,11 +126,11 @@ def tower_leaf_count(variables, spec) -> Dict[str, int]:
     import jax
 
     out = {}
-    for level, b in spec.branches:
+    for level, k, b in iter_branches(spec):
         node = variables["params"]
-        for p in tower_param_path(spec, level, b):
+        for p in tower_param_path(spec, level, b, k):
             node = node.get(p, {})
-        out["/".join(tower_param_path(spec, level, b))] = len(
+        out["/".join(tower_param_path(spec, level, b, k))] = len(
             jax.tree_util.tree_leaves(node)
         )
     return out

@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--full_res", action="store_true")
     parser.add_argument("--submission", default=None,
                         help="write a benchmark submission to this dir")
+    parser.add_argument("--vote_ram_budget_mb", type=int, default=4096,
+                        help="RAM cap for vote arrays; clouds past it spill "
+                             "to memmap'd files (ref kitti360_tracker "
+                             "tempdir votes)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -72,7 +76,9 @@ def main(argv=None):
 
     tracker = SegmentationTracker(num_classes, "test")
     do_votes = args.voting_runs > 1 or args.full_res or args.submission
-    votes = VoteAccumulator(num_classes) if do_votes else None
+    votes = VoteAccumulator(
+        num_classes, ram_budget_bytes=args.vote_ram_budget_mb << 20
+    ) if do_votes else None
     cloud_sizes = {}   # avoid re-loading whole areas per sample
 
     def cloud_size(cloud):
@@ -92,11 +98,21 @@ def main(argv=None):
             else:
                 out = trainer._eval_step(trainer.state, dev_batch)
             valid = np.asarray(batch["graph"]["levels"][0]["valid"])
+            preds = np.asarray(out["preds"])
+            logits = np.asarray(out["logits"])
+            if spec.family == "no3d" and "x_seen" in out and "pos" in batch:
+                # copy nearest-seen log-probs onto unseen points — the
+                # reference's No3D eval semantics (no3d.py:105-126)
+                from deepviewagg_tpu.models.losses import propagate_unseen
+
+                logits = propagate_unseen(
+                    logits, np.asarray(batch["pos"]),
+                    np.asarray(out["x_seen"]) & valid)
+                preds = logits.argmax(axis=-1)
             if run == 0:
-                tracker.track(np.asarray(out["preds"]), batch["labels"], valid)
+                tracker.track(preds, batch["labels"], valid)
             if votes is not None:
                 # per-sample vote accumulation keyed by original point ids
-                logits = np.asarray(out["logits"])
                 start = 0
                 meta = batch["meta"]
                 for cloud, ids, size in zip(

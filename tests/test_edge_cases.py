@@ -54,3 +54,43 @@ def test_data_parallel_trainer():
     metrics = tr.fit(lambda: [[batch] * n_dev] * 2)
     assert np.isfinite(metrics["train_loss"])
     assert int(np.asarray(jax.device_get(tr.state.step)).max()) == 2
+
+def test_vote_accumulator_out_of_core_spill():
+    """Past the RAM budget, vote arrays live in memmap'd files and produce
+    IDENTICAL predictions (VERDICT r2 #5; ref kitti360_tracker.py:110-154
+    tempdir vote files)."""
+    import os
+
+    import numpy as np
+
+    from deepviewagg_tpu.metrics.tracker import VoteAccumulator
+
+    rng = np.random.default_rng(0)
+    C, size, n_clouds = 5, 400, 6
+    per_cloud = size * (4 * C + 4)
+    ram = VoteAccumulator(C)                                 # unbounded
+    ooc = VoteAccumulator(C, ram_budget_bytes=2 * per_cloud)  # ~2 clouds
+    adds = []
+    for ci in range(n_clouds):
+        for _ in range(3):
+            ids = rng.integers(0, size, 150)
+            logits = rng.normal(size=(150, C)).astype(np.float32)
+            adds.append((f"cloud{ci}", ids, logits))
+    for name, ids, logits in adds:
+        ram.add(name, size, ids, logits)
+        ooc.add(name, size, ids, logits)
+    assert ooc.spilled >= n_clouds - 2, "spill never engaged"
+    spill_files = os.listdir(ooc._tempdir.name)
+    assert any(f.endswith("_votes.npy") for f in spill_files)
+    for ci in range(n_clouds):
+        p1, m1 = ram.preds(f"cloud{ci}")
+        p2, m2 = ooc.preds(f"cloud{ci}")
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(m1, m2)
+    # full-res remap path identical too
+    vote_pos = rng.random((size, 3)).astype(np.float32)
+    raw_pos = rng.random((900, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        ram.full_res_preds("cloud0", vote_pos, raw_pos),
+        ooc.full_res_preds("cloud0", vote_pos, raw_pos),
+    )

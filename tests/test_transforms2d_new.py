@@ -162,3 +162,38 @@ def test_persistent_dropout2d_shares_mask_across_images(rng):
     # eval mode = identity
     out_eval = np.asarray(m.apply({}, x, train=False))
     np.testing.assert_array_equal(out_eval, np.ones_like(out_eval))
+
+
+def test_select_images_by_credit_budget_and_uniform_equivalence():
+    """Uniform sizes degenerate to select_images_by_coverage; heterogeneous
+    sizes respect the pixel budget (eval-time PickImagesFromMemoryCredit
+    semantics, image.py:765-874)."""
+    import numpy as np
+
+    from deepviewagg_tpu.data.mapping import MultiViewMapping
+    from deepviewagg_tpu.data.transforms2d import (
+        select_images_by_coverage, select_images_by_credit)
+
+    rng = np.random.default_rng(0)
+    n_pts, n_img, n_views = 120, 7, 260
+    pid = np.sort(rng.integers(0, n_pts, n_views)).astype(np.int32)
+    img = rng.integers(0, n_img, n_views).astype(np.int32)
+    m = MultiViewMapping(
+        point_id=pid, image_id=img,
+        view_feats=np.zeros((n_views, 8), np.float32),
+        view_valid=np.ones(n_views, bool),
+        pix_view=np.arange(n_views, dtype=np.int32),
+        pix_x=np.zeros(n_views, np.int32), pix_y=np.zeros(n_views, np.int32),
+        pix_valid=np.ones(n_views, bool),
+        num_points=n_pts, num_images=n_img,
+    )
+    uniform = np.full(n_img, 100, np.int64)
+    np.testing.assert_array_equal(
+        select_images_by_credit(m, 300, uniform),
+        select_images_by_coverage(m, 3),
+    )
+    # heterogeneous: one panorama costs the whole budget of 4 small frames
+    sizes = np.array([400, 100, 100, 100, 100, 100, 100], np.int64)
+    keep = select_images_by_credit(m, 400, sizes)
+    assert sizes[keep].sum() <= 400
+    assert len(keep) >= 1

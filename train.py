@@ -79,7 +79,13 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
     bucket_pix = None      # per-ladder-bucket pixel/image maxima
     bucket_imgs = None
     ladder = None
-    if cfg.data.crop_ladder_min > 0:
+    family_ladder = getattr(dataset, "image_families", None)
+    if family_ladder:
+        # camera-family buckets at native aspect (kitti360 pinhole+fisheye)
+        ladder = [tuple(s_) for s_ in family_ladder]
+        bucket_pix = [0] * len(ladder)
+        bucket_imgs = [0] * len(ladder)
+    elif cfg.data.crop_ladder_min > 0:
         from deepviewagg_tpu.data.crop_groups import crop_ladder
 
         ladder = crop_ladder(tuple(cfg.data.image_size),
@@ -101,9 +107,17 @@ def auto_bucket(cfg, dataset, branch_levels, probe: int = 8):
                     assign_crop_groups, split_mapping_by_bucket,
                 )
 
-                ass = assign_crop_groups(
-                    {"mapping": s.mapping, "images": s.images}, ladder
-                )
+                if family_ladder and s.image_family is not None:
+                    ass = {
+                        "mapping": s.mapping, "images": s.images,
+                        "image_bucket": np.asarray(s.image_family, np.int64),
+                        "crop_origin": np.zeros(
+                            (len(s.image_family), 2), np.int64),
+                    }
+                else:
+                    ass = assign_crop_groups(
+                        {"mapping": s.mapping, "images": s.images}, ladder
+                    )
                 mmp = split_mapping_by_bucket(ass, ladder,
                                               include_images=False)
                 for bi, bk in enumerate(mmp["buckets"]):
@@ -214,6 +228,7 @@ def main(argv=None):
         epochs=cfg.training.epochs,
         eval_frequency=cfg.training.eval_frequency,
         lovasz_weight=cfg.training.lovasz_weight,
+        view_loss_weight=cfg.training.view_loss_weight,
         base_lr=cfg.training.base_lr,
         lr_schedule=cfg.training.lr_schedule,
         lr_milestones=tuple(cfg.training.lr_milestones),
