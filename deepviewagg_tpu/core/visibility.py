@@ -206,6 +206,103 @@ def _camera_arrays(camera: _cam.Camera) -> dict:
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "size", "crop_top", "crop_bottom", "r_min",
+                     "r_max", "max_splat", "exact", "with_features"),
+)
+def _splat_pipeline_batch(
+    xyz, cam_stack, geo, voxel, k_swell, d_swell,
+    *, model, size, crop_top, crop_bottom, r_min, r_max, max_splat, exact,
+    with_features,
+):
+    """vmap of :func:`_splat_pipeline` over a stacked camera family — ONE
+    device dispatch for many images (the per-camera dispatch + readback
+    round-trips dominate preprocessing on the tunneled TPU)."""
+    def one(ca):
+        return _splat_pipeline(
+            xyz, ca, geo, voxel, k_swell, d_swell, model=model, size=size,
+            crop_top=crop_top, crop_bottom=crop_bottom, r_min=r_min,
+            r_max=r_max, max_splat=max_splat, exact=exact,
+            with_features=with_features,
+        )
+
+    return jax.vmap(one)(cam_stack)
+
+
+def splat_zbuffer_batch(
+    cameras,
+    xyz,
+    voxel=0.1,
+    k_swell=1.0,
+    d_swell=1000.0,
+    exact=False,
+    max_splat=8,
+    geo=None,
+    chunk: int = 6,
+):
+    """Splatting visibility for a SAME-SETTING camera family in chunked
+    batched dispatches.  Returns ``(idx_maps [C, W, H], feats6 [C, N, 6] or
+    None)`` with leaves still on device (callers slice before readback).
+    ``chunk`` bounds the vmap'd intermediate footprint ([N*S*S] buffers per
+    camera) and additionally shrinks with cloud size (the batched program's
+    splat buffers must stay well under HBM / remote-compile limits)."""
+    c0 = cameras[0]
+    xyz = jnp.asarray(xyz, jnp.float32)
+    geo_in = geo if geo is not None else {}
+    # cap total splat-candidate rows per dispatch at ~48M
+    rows_per_cam = max(1, xyz.shape[0] * int(max_splat) ** 2)
+    chunk = max(1, min(int(chunk), 48_000_000 // rows_per_cam))
+
+    def one_by_one(group):
+        outs = [
+            splat_zbuffer(c, xyz, voxel=voxel, k_swell=k_swell,
+                          d_swell=d_swell, exact=exact, max_splat=max_splat,
+                          geo=geo if geo is not None else None)
+            for c in group
+        ]
+        ims = jnp.stack([o[0] for o in outs])
+        f6 = (jnp.stack([o[6] for o in outs]) if geo is not None else None)
+        return ims, f6
+
+    idx_maps, feats = [], []
+    for lo in range(0, len(cameras), chunk):
+        group = cameras[lo:lo + chunk]
+        if chunk == 1:
+            out01 = one_by_one(group)
+            idx_maps.append(out01[0])
+            if geo is not None:
+                feats.append(out01[1])
+            continue
+        cam_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[_camera_arrays(c) for c in group]
+        )
+        try:
+            out = _splat_pipeline_batch(
+                xyz, cam_stack, geo_in,
+                jnp.float32(voxel), jnp.float32(k_swell),
+                jnp.float32(d_swell),
+                model=c0.model, size=c0.size,
+                crop_top=c0.crop_top, crop_bottom=c0.crop_bottom,
+                r_min=float(c0.r_min), r_max=float(c0.r_max),
+                max_splat=int(max_splat), exact=bool(exact),
+                with_features=geo is not None,
+            )
+            idx_maps.append(out[0])
+            if geo is not None:
+                feats.append(out[6])
+        except Exception:  # remote-compile / HBM limits: serial fallback
+            out01 = one_by_one(group)
+            idx_maps.append(out01[0])
+            if geo is not None:
+                feats.append(out01[1])
+    idx_maps = jnp.concatenate(idx_maps) if len(idx_maps) > 1 else idx_maps[0]
+    feats6 = None
+    if geo is not None:
+        feats6 = jnp.concatenate(feats) if len(feats) > 1 else feats[0]
+    return idx_maps, feats6
+
+
 def splat_zbuffer(
     camera: _cam.Camera,
     xyz,

@@ -118,21 +118,45 @@ def pca_features(pos, k: int = 50, r_search=None, block: int = 1024,
     """
     pos = np.asarray(pos, np.float32)
     n = len(pos)
-    n_pad = max(-(-n // pad_multiple) * pad_multiple, pad_multiple)
-    pos_p = np.zeros((n_pad, 3), np.float32)
-    pos_p[:n] = pos
-    pos_p[n:] = 1e6  # far away; masked out of neighbor candidates
-    valid = np.zeros(n_pad, bool)
-    valid[:n] = True
-    d2, idx = _knn.knn(pos_p, pos_p, k=k, valid=valid, block=block)
-    pos, d2, idx = pos_p[:n], d2[:n], idx[:n]
+    from ..native import lib as _native
+
+    host_path = (n > 100_000 and _native is not None
+                 and hasattr(_native, "knn_grid"))
+    if host_path:
+        # grid-cell exact kNN: the blocked brute force is O(N^2) and
+        # dominates preprocessing past ~500k points (PERF.md scale
+        # rehearsal); cells give the reference's KDTree/FAISS role natively
+        d2, idx = _knn.knn_grid(pos, pos, k=k)
+    else:
+        n_pad = max(-(-n // pad_multiple) * pad_multiple, pad_multiple)
+        pos_p = np.zeros((n_pad, 3), np.float32)
+        pos_p[:n] = pos
+        pos_p[n:] = 1e6  # far away; masked out of neighbor candidates
+        valid = np.zeros(n_pad, bool)
+        valid[:n] = True
+        d2, idx = _knn.knn(pos_p, pos_p, k=k, valid=valid, block=block)
+        pos, d2, idx = pos_p[:n], d2[:n], idx[:n]
     if r_search is not None:
         own = np.arange(len(pos), dtype=idx.dtype)[:, None]
         idx = np.where(d2 <= r_search * r_search, idx, own)
-    eigvals, normal = _eigen_from_neighborhoods(
-        jnp.asarray(pos), jnp.asarray(idx)
-    )
-    lin_plan_scat = np.asarray(eigen_features(eigvals))
+    if host_path:
+        # the neighbor table lives on the host; shipping ~100 MB of indices
+        # through the tunneled accelerator costs minutes (measured 430 s at
+        # 671k voxels) — the closed-form 3x3 eigensolver runs fine on the
+        # host CPU backend instead
+        import jax as _jax
+
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            eigvals, normal = _eigen_from_neighborhoods(
+                _jax.device_put(pos, cpu), _jax.device_put(idx, cpu)
+            )
+            lin_plan_scat = np.asarray(eigen_features(eigvals))
+    else:
+        eigvals, normal = _eigen_from_neighborhoods(
+            jnp.asarray(pos), jnp.asarray(idx)
+        )
+        lin_plan_scat = np.asarray(eigen_features(eigvals))
     return {
         "linearity": lin_plan_scat[:, 0],
         "planarity": lin_plan_scat[:, 1],

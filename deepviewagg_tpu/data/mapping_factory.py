@@ -88,28 +88,49 @@ def build_mappings(
         "scattering": _padf(geometric["scattering"].astype(np.float32)),
         "normal": _padf(geometric["normal"].astype(np.float32)),
     }
+    # ship the (padded) cloud + geometric features to the device ONCE:
+    # per-camera jnp.asarray would re-upload ~25 MB per image, which on the
+    # tunneled TPU costs more than the z-buffer itself
+    import jax as _jax
 
-    per_image = []
+    pos_p = _jax.device_put(pos_p)
+    geo_dev = _jax.device_put(geo_dev)
+
+    per_image = [None] * len(cams)
     seen_matrix = np.zeros((n, len(cams)), bool)
+    # group cameras by setting family (one compile + batched dispatches per
+    # family — per-camera dispatch/readback round-trips dominate on the
+    # tunneled TPU; ref SameSettingImageData groups play the same role)
+    families: dict = {}
     for i, cam in enumerate(cams):
-        idx_map, _, x_proj, y_proj, dist, valid, feats6_all = _vis.splat_zbuffer(
-            cam, pos_p, voxel=params.voxel, k_swell=params.k_swell,
-            d_swell=params.d_swell, exact=params.exact,
-            max_splat=params.max_splat, geo=geo_dev,
+        key = (cam.model, cam.size, cam.crop_top, cam.crop_bottom,
+               float(cam.r_min), float(cam.r_max),
+               tuple(f for f in ("pos", "opk", "extrinsic", "intrinsic",
+                                 "fisheye", "mask")
+                     if getattr(cam, f) is not None))
+        families.setdefault(key, []).append(i)
+    import jax.numpy as jnp
+
+    for ids in families.values():
+        idx_maps_dev, feats6_dev = _vis.splat_zbuffer_batch(
+            [cams[i] for i in ids], pos_p, voxel=params.voxel,
+            k_swell=params.k_swell, d_swell=params.d_swell,
+            exact=params.exact, max_splat=params.max_splat, geo=geo_dev,
         )
-        idx_map = np.asarray(idx_map)
-        pts, xs, ys = _image_mappings_dense(idx_map)
-        if len(pts) == 0:
-            per_image.append(None)
-            continue
-        order = np.argsort(pts, kind="stable")
-        pts, xs, ys = pts[order], xs[order], ys[order]
-        upts, starts = np.unique(pts, return_index=True)
-        seen_matrix[upts, i] = True
-        feats6 = np.asarray(feats6_all)[upts]
-        per_image.append(
-            dict(upts=upts, starts=starts, pts=pts, xs=xs, ys=ys, feats6=feats6)
-        )
+        idx_maps = np.asarray(idx_maps_dev)        # ONE [C, W, H] readback
+        for j, i in enumerate(ids):
+            pts, xs, ys = _image_mappings_dense(idx_maps[j])
+            if len(pts) == 0:
+                continue
+            order = np.argsort(pts, kind="stable")
+            pts, xs, ys = pts[order], xs[order], ys[order]
+            upts, starts = np.unique(pts, return_index=True)
+            seen_matrix[upts, i] = True
+            # device-side row select BEFORE readback: the full [n_pad, 6]
+            # features would be ~16 MB per camera through the tunnel
+            feats6 = np.asarray(feats6_dev[j][jnp.asarray(upts)])
+            per_image[i] = dict(upts=upts, starts=starts, pts=pts, xs=xs,
+                                ys=ys, feats6=feats6)
 
     # features 7-8: density (per point) and occlusion (per point,image) —
     # NeighborhoodBasedMappingFeatures (data_transform/multimodal/image.py:431-612)

@@ -18,10 +18,12 @@
 #include <numpy/arrayobject.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -311,6 +313,173 @@ PyObject* query_coords(PyObject*, PyObject* args) {
   return (PyObject*)out;
 }
 
+// ------------------------------------------------------------------------
+// Grid-cell exact kNN for host-side preprocessing at scale.
+//
+// The reference leans on KDTree / FAISS for its per-point PCA neighborhoods
+// (core/data_transform/features.py:360); the repo's blocked brute-force kNN
+// is O(N^2) and dominates preprocessing past ~500k points (scale rehearsal:
+// 94 s of 202 s at 671k voxels).  Cell lists give exact kNN in
+// O(N * ring_candidates): bucket points into cubic cells, expand chebyshev
+// rings around each query until the k-th best distance beats the next
+// ring's minimum possible distance.
+
+struct CellIndex {
+  HashTable cells;                 // cell key -> bucket id
+  std::vector<int32_t> starts;     // CSR over buckets
+  std::vector<int32_t> members;    // point ids per bucket
+  float cell;
+
+  CellIndex(const float* pts, npy_intp n, float cell_size)
+      : cells((size_t)n), cell(cell_size) {
+    std::vector<int64_t> keys((size_t)n);
+    int32_t n_cells = 0;
+    std::vector<int32_t> bucket_of((size_t)n);
+    for (npy_intp i = 0; i < n; ++i) {
+      keys[i] = key_of(pts + 3 * i);
+      int32_t b = cells.find(keys[i]);
+      if (b < 0) {
+        b = n_cells++;
+        cells.insert(keys[i], b);
+      }
+      bucket_of[i] = b;
+    }
+    std::vector<int32_t> counts((size_t)n_cells, 0);
+    for (npy_intp i = 0; i < n; ++i) counts[bucket_of[i]]++;
+    starts.assign((size_t)n_cells + 1, 0);
+    for (int32_t b = 0; b < n_cells; ++b) starts[b + 1] = starts[b] + counts[b];
+    members.resize((size_t)n);
+    std::vector<int32_t> cursor(starts.begin(), starts.end() - 1);
+    for (npy_intp i = 0; i < n; ++i) members[cursor[bucket_of[i]]++] = (int32_t)i;
+  }
+
+  inline int64_t key_of(const float* p) const {
+    int32_t c[4] = {0, (int32_t)std::floor(p[0] / cell),
+                    (int32_t)std::floor(p[1] / cell),
+                    (int32_t)std::floor(p[2] / cell)};
+    return pack(c);
+  }
+
+  inline int64_t key_at(int32_t cx, int32_t cy, int32_t cz) const {
+    int32_t c[4] = {0, cx, cy, cz};
+    return pack(c);
+  }
+};
+
+// knn_grid(points f32 [N,3], queries f32 [M,3], k, cell)
+//   -> (d2 f32 [M,k] ascending, idx int32 [M,k]); short neighborhoods pad
+//      by repeating the nearest hit (covariance-shrinking semantics, like
+//      pca_features' r_search clamp).
+PyObject* knn_grid(PyObject*, PyObject* args) {
+  PyObject *p_obj, *q_obj;
+  long k;
+  double cell;
+  if (!PyArg_ParseTuple(args, "OOld", &p_obj, &q_obj, &k, &cell))
+    return nullptr;
+  PyArrayObject* p_arr = (PyArrayObject*)PyArray_FROM_OTF(
+      p_obj, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED);
+  PyArrayObject* q_arr = (PyArrayObject*)PyArray_FROM_OTF(
+      q_obj, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED);
+  if (!p_arr || !q_arr || PyArray_NDIM(p_arr) != 2 ||
+      PyArray_DIM(p_arr, 1) != 3 || PyArray_NDIM(q_arr) != 2 ||
+      PyArray_DIM(q_arr, 1) != 3 || k < 1 || cell <= 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "knn_grid(points f32 [N,3], queries f32 [M,3], k>=1, "
+                    "cell>0)");
+    Py_XDECREF(p_arr);
+    Py_XDECREF(q_arr);
+    return nullptr;
+  }
+  npy_intp n = PyArray_DIM(p_arr, 0), m = PyArray_DIM(q_arr, 0);
+  npy_intp dims[2] = {m, (npy_intp)k};
+  PyArrayObject* d2_out = (PyArrayObject*)PyArray_SimpleNew(2, dims, NPY_FLOAT32);
+  PyArrayObject* id_out = (PyArrayObject*)PyArray_SimpleNew(2, dims, NPY_INT32);
+  if (!d2_out || !id_out || n == 0) {
+    if (n == 0) PyErr_SetString(PyExc_ValueError, "knn_grid: empty points");
+    Py_XDECREF(d2_out);
+    Py_XDECREF(id_out);
+    Py_DECREF(p_arr);
+    Py_DECREF(q_arr);
+    return nullptr;
+  }
+  const float* pts = (const float*)PyArray_DATA(p_arr);
+  const float* qs = (const float*)PyArray_DATA(q_arr);
+  float* d2d = (float*)PyArray_DATA(d2_out);
+  int32_t* idd = (int32_t*)PyArray_DATA(id_out);
+
+  Py_BEGIN_ALLOW_THREADS;
+  CellIndex index(pts, n, (float)cell);
+  constexpr int R_MAX = 16;
+  auto run = [&](npy_intp lo, npy_intp hi) {
+    std::vector<std::pair<float, int32_t>> heap;  // max-heap on d2
+    heap.reserve((size_t)k);
+    for (npy_intp qi = lo; qi < hi; ++qi) {
+      const float* q = qs + 3 * qi;
+      const int32_t qcx = (int32_t)std::floor(q[0] / index.cell);
+      const int32_t qcy = (int32_t)std::floor(q[1] / index.cell);
+      const int32_t qcz = (int32_t)std::floor(q[2] / index.cell);
+      heap.clear();
+      for (int r = 0; r <= R_MAX; ++r) {
+        for (int dx = -r; dx <= r; ++dx)
+          for (int dy = -r; dy <= r; ++dy)
+            for (int dz = -r; dz <= r; ++dz) {
+              if (std::max({std::abs(dx), std::abs(dy), std::abs(dz)}) != r)
+                continue;
+              int32_t b = index.cells.find(
+                  index.key_at(qcx + dx, qcy + dy, qcz + dz));
+              if (b < 0) continue;
+              for (int32_t s = index.starts[b]; s < index.starts[b + 1]; ++s) {
+                const int32_t pi = index.members[s];
+                const float* p = pts + 3 * pi;
+                const float ddx = p[0] - q[0], ddy = p[1] - q[1],
+                            ddz = p[2] - q[2];
+                const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                if ((npy_intp)heap.size() < k) {
+                  heap.emplace_back(d2, pi);
+                  std::push_heap(heap.begin(), heap.end());
+                } else if (d2 < heap.front().first) {
+                  std::pop_heap(heap.begin(), heap.end());
+                  heap.back() = {d2, pi};
+                  std::push_heap(heap.begin(), heap.end());
+                }
+              }
+            }
+        // unexplored cells sit at chebyshev >= r+1: their points are at
+        // least r*cell away from anywhere inside the query's cell
+        if ((npy_intp)heap.size() == k) {
+          const float ring_min = (float)r * index.cell;
+          if (heap.front().first <= ring_min * ring_min) break;
+        }
+      }
+      std::sort_heap(heap.begin(), heap.end());  // ascending d2
+      const npy_intp found = (npy_intp)heap.size();
+      for (npy_intp j = 0; j < k; ++j) {
+        const auto& e = heap[(size_t)std::min(j, found - 1)];
+        d2d[qi * k + j] = e.first;
+        idd[qi * k + j] = e.second;
+      }
+    }
+  };
+  const size_t hw = std::max(1u, std::thread::hardware_concurrency());
+  const npy_intp n_threads = (npy_intp)std::min<size_t>({hw, 16});
+  if (n_threads <= 1 || m < 4096) {
+    run(0, m);
+  } else {
+    std::vector<std::thread> pool;
+    npy_intp chunk = (m + n_threads - 1) / n_threads;
+    for (npy_intp t = 0; t < n_threads; ++t) {
+      npy_intp lo = t * chunk, hi = std::min<npy_intp>(m, lo + chunk);
+      if (lo < hi) pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS;
+
+  Py_DECREF(p_arr);
+  Py_DECREF(q_arr);
+  return Py_BuildValue("(NN)", d2_out, id_out);
+}
+
 PyMethodDef methods[] = {
     {"build_kernel_map", build_kernel_map, METH_VARARGS,
      "build_kernel_map(in_coords, out_coords, offsets, stride) -> nbr [K, M]"},
@@ -318,6 +487,8 @@ PyMethodDef methods[] = {
      "unique_inverse(coords) -> (unique, inverse)"},
     {"query_coords", query_coords, METH_VARARGS,
      "query_coords(table, queries) -> idx (-1 miss)"},
+    {"knn_grid", knn_grid, METH_VARARGS,
+     "knn_grid(points, queries, k, cell) -> (d2 [M,k], idx [M,k])"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_kernelmap",

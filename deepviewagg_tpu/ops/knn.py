@@ -16,7 +16,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["knn", "radius_count"]
+__all__ = ["knn", "knn_grid", "radius_count"]
+
+
+def knn_grid(query, points, k: int, cell: float = None):
+    """Exact kNN via native grid-cell lists (kernelmap.cpp knn_grid) —
+    O(N * candidates) instead of the blocked brute-force O(N^2); the role of
+    the reference's KDTree/FAISS in preprocessing (features.py:360).  Falls
+    back to :func:`knn` when the native extension is unavailable.
+
+    ``cell``: cube edge in position units; default sizes cells so the query
+    ring holds a few-k candidates."""
+    points = np.ascontiguousarray(points, np.float32)
+    query = np.ascontiguousarray(query, np.float32)
+    from ..native import lib
+
+    if lib is None or not hasattr(lib, "knn_grid") or len(points) == 0:
+        return knn(query, points, k)
+    if cell is None:
+        lo, hi = points.min(0), points.max(0)
+        vol = float(np.prod(np.maximum(hi - lo, 1e-3)))
+        # ~k/4 points per cell -> the 27-cell first ring holds ~7k candidates
+        cell = max((vol * max(k, 4) / (4.0 * len(points))) ** (1.0 / 3.0),
+                   1e-4)
+    d2, idx = lib.knn_grid(points, query, int(k), float(cell))
+    return d2, idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block"))

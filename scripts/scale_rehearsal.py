@@ -58,25 +58,33 @@ def main():
     tmp = tempfile.mkdtemp(prefix="dva_scale_")
     path = os.path.join(tmp, "area_big.npz")
 
+    def note(msg):
+        print(f"[rehearsal] {msg}", file=sys.stderr, flush=True)
+
     t0 = time.time()
+    note("scene...")
     scene = synthetic.make_scene(
         seed=0, room=room, density=density, n_boxes=10,
         n_cameras=args.cameras, image_size=tuple(args.image), r_max=16.0,
     )
     out["raw_points"] = int(len(scene.pos))
     t_scene = time.time()
+    note(f"scene {t_scene-t0:.0f}s; voxelize...")
     g = _voxel.grid_sample(scene.pos, args.voxel, feats=scene.rgb,
                            labels=scene.labels)
     out["voxels"] = int(len(g["pos"]))
     t_voxel = time.time()
+    note(f"voxelize {t_voxel-t_scene:.0f}s; pca...")
     geo = pca_features(g["pos"], k=30)
     t_pca = time.time()
+    note(f"pca {t_pca-t_voxel:.0f}s; mappings...")
     mapping = build_mappings(
         g["pos"], scene.cameras,
         VisibilityParams(voxel=args.voxel, max_splat=5),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
     t_map = time.time()
+    note(f"mappings {t_map-t_pca:.0f}s; render+save...")
     imgs = synthetic.render_views(scene, mapping)
     save_area(path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
