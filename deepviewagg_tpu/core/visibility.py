@@ -336,6 +336,44 @@ def splat_zbuffer(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "size", "crop_top", "crop_bottom", "r_min",
+                     "r_max", "with_features"),
+)
+def _project_features_jit(xyz, cam_arrays, geo, *, model, size, crop_top,
+                          crop_bottom, r_min, r_max, with_features):
+    camera = _cam.Camera(
+        model=model, size=size, crop_top=crop_top, crop_bottom=crop_bottom,
+        r_min=r_min, r_max=r_max, **cam_arrays,
+    )
+    x_proj, y_proj, dist, valid = _cam.project(xyz, camera)
+    feats6 = None
+    if with_features:
+        to_img = xyz - camera.center()
+        feats6 = postprocess_features(
+            to_img, y_proj, dist,
+            geo["linearity"], geo["planarity"], geo["scattering"],
+            geo["normal"], img_height=size[1], r_min=r_min, r_max=r_max,
+        )
+    return x_proj, y_proj, dist, valid, feats6
+
+
+def project_features(camera: _cam.Camera, xyz, geo=None):
+    """Projection + FOV cull (+ the 6 viewing-condition features) WITHOUT a
+    visibility model — the shared front half of the non-splatting
+    visibility methods (DepthBasedVisibility / BiasuttiVisibility,
+    visibility.py:1779,1790)."""
+    return _project_features_jit(
+        jnp.asarray(xyz, jnp.float32), _camera_arrays(camera),
+        geo if geo is not None else {},
+        model=camera.model, size=camera.size,
+        crop_top=camera.crop_top, crop_bottom=camera.crop_bottom,
+        r_min=float(camera.r_min), r_max=float(camera.r_max),
+        with_features=geo is not None,
+    )
+
+
 def depth_map_visibility(x_proj, y_proj, dist, depth_map, depth_threshold=0.05):
     """Visibility by comparison against a provided sensor depth map
     (S3DIS 16-bit PNG path, visibility.py:1328-1394): a point is seen if its

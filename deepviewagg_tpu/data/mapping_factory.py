@@ -28,17 +28,32 @@ __all__ = ["build_mappings", "VisibilityParams"]
 
 
 class VisibilityParams:
-    """Splatting-visibility knobs (reference ``SplattingVisibility``,
-    visibility.py:1764: voxel, k_swell, d_swell, exact)."""
+    """Visibility-model selection + knobs — the reference's
+    ``VisibilityModel`` dispatcher (visibility.py:1677-1801):
+
+      * ``method='splatting'``: z-buffer splats (``SplattingVisibility``,
+        :1764 — voxel, k_swell, d_swell, exact);
+      * ``method='biasutti'``: image-space kNN depth test
+        (``BiasuttiVisibility``, :1790 — biasutti_k, biasutti_margin);
+      * ``method='depth'``: compare against provided sensor depth maps
+        (``DepthBasedVisibility``, :1779 — depth_threshold; pass
+        ``depth_maps`` to :func:`build_mappings`).
+    """
 
     def __init__(self, voxel=0.05, k_swell=1.0, d_swell=1000.0, exact=False,
-                 max_splat=8, knn_k=16):
+                 max_splat=8, knn_k=16, method="splatting",
+                 biasutti_k=75, biasutti_margin=0.1, depth_threshold=0.05):
+        assert method in ("splatting", "biasutti", "depth"), method
         self.voxel = voxel
         self.k_swell = k_swell
         self.d_swell = d_swell
         self.exact = exact
         self.max_splat = max_splat
         self.knn_k = knn_k
+        self.method = method
+        self.biasutti_k = biasutti_k
+        self.biasutti_margin = biasutti_margin
+        self.depth_threshold = depth_threshold
 
 
 def _image_mappings_dense(idx_map: np.ndarray):
@@ -54,6 +69,7 @@ def build_mappings(
     params: Optional[VisibilityParams] = None,
     geometric: Optional[dict] = None,
     nn_idx: Optional[np.ndarray] = None,
+    depth_maps: Optional[Sequence] = None,
 ) -> MultiViewMapping:
     """Build the full mapping for one sample (unpadded capacities).
 
@@ -111,7 +127,42 @@ def build_mappings(
         families.setdefault(key, []).append(i)
     import jax.numpy as jnp
 
-    for ids in families.values():
+    if params.method != "splatting":
+        # non-splatting visibility models: shared projection front half,
+        # per-camera visibility mask, one center pixel per seen point
+        for i, cam in enumerate(cams):
+            xp, yp, dist, valid, feats6_dev = _vis.project_features(
+                cam, pos_p, geo=geo_dev
+            )
+            if params.method == "biasutti":
+                seen = _vis.biasutti_visibility(
+                    xp, yp, dist, valid, k=params.biasutti_k,
+                    margin=params.biasutti_margin,
+                )
+            else:
+                if depth_maps is None or depth_maps[i] is None:
+                    raise ValueError(
+                        "method='depth' needs per-camera depth_maps"
+                    )
+                seen = valid & _vis.depth_map_visibility(
+                    xp, yp, dist, depth_maps[i],
+                    depth_threshold=params.depth_threshold,
+                )
+            seen = np.asarray(seen)[:n]
+            upts = np.nonzero(seen)[0]
+            if len(upts) == 0:
+                continue
+            w, h = cam.size
+            xs = np.clip(np.asarray(xp)[:n][upts].astype(np.int32), 0, w - 1)
+            ys = np.clip(np.asarray(yp)[:n][upts].astype(np.int32), 0, h - 1)
+            seen_matrix[upts, i] = True
+            feats6 = np.asarray(feats6_dev[jnp.asarray(upts)])
+            per_image[i] = dict(
+                upts=upts, starts=np.arange(len(upts)), pts=upts,
+                xs=xs, ys=ys, feats6=feats6,
+            )
+
+    for ids in ([] if params.method != "splatting" else families.values()):
         idx_maps_dev, feats6_dev = _vis.splat_zbuffer_batch(
             [cams[i] for i in ids], pos_p, voxel=params.voxel,
             k_swell=params.k_swell, d_swell=params.d_swell,

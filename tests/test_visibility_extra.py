@@ -54,3 +54,53 @@ def test_fisheye_calib_parsing(tmp_path):
     poses.write_text("0 " + m + "\n10 " + m + "\n")
     p = read_imu_poses(str(poses))
     assert set(p) == {0, 10}
+
+
+def test_visibility_method_dispatch_biasutti_and_depth():
+    """VisibilityParams.method routes the mapping factory through
+    BiasuttiVisibility / DepthBasedVisibility (ref VisibilityModel
+    dispatcher, visibility.py:1677-1801)."""
+    import numpy as np
+
+    from deepviewagg_tpu.core import visibility as vis
+    from deepviewagg_tpu.data import synthetic
+    from deepviewagg_tpu.data.geometric import pca_features
+    from deepviewagg_tpu.data.mapping_factory import (VisibilityParams,
+                                                      build_mappings)
+
+    scene = synthetic.make_scene(seed=0, density=120.0, n_cameras=2,
+                                 image_size=(64, 32))
+    geo = pca_features(scene.pos, k=8)
+
+    m_b = build_mappings(
+        scene.pos, scene.cameras,
+        VisibilityParams(voxel=0.08, method="biasutti", biasutti_k=16,
+                         biasutti_margin=0.3),
+        geometric=geo, nn_idx=geo["nn_idx"],
+    )
+    assert m_b.num_views > 0 and m_b.num_pixels == m_b.num_views
+    assert np.isfinite(m_b.view_feats[m_b.view_valid]).all()
+    m_b.check()
+
+    # depth maps from the splatting z-buffer double as sensor depths: the
+    # winning points must be re-identified as visible
+    depth_maps = []
+    for cam in scene.cameras:
+        out = vis.splat_zbuffer(cam, scene.pos, voxel=0.08, geo=None)
+        depth_maps.append(np.asarray(out[1]))
+    m_d = build_mappings(
+        scene.pos, scene.cameras,
+        VisibilityParams(voxel=0.08, method="depth", depth_threshold=0.1),
+        geometric=geo, nn_idx=geo["nn_idx"],
+        depth_maps=depth_maps,
+    )
+    assert m_d.num_views > 0
+    m_d.check()
+
+    # depth method without maps is an explicit error
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_mappings(scene.pos, scene.cameras,
+                       VisibilityParams(method="depth"), geometric=geo,
+                       nn_idx=geo["nn_idx"])
