@@ -199,6 +199,7 @@ class MultimodalSeg(nn.Module):
                         gated=spec.gated,
                         interpolate=spec.interpolate,
                         fusion_mode=spec.fusion_mode,
+                        remat_tower=spec.remat_tower,
                         frozen=spec.frozen,
                         name=name,
                     )

@@ -44,6 +44,10 @@ class MultiBucketBranch(nn.Module):
     interpolate: bool = True
     fusion_mode: str = "residual"
     frozen: bool = False          # frozen pretrained tower (see branch.py)
+    # rematerialize the tower in backward — the reference's 'c' checkpoint
+    # flag (modules.py:283); at recipe-scale 2D (1024x512 crops) the stored
+    # activations otherwise dominate HBM
+    remat_tower: bool = False
 
     @nn.compact
     def __call__(self, x_3d, mm: Dict, train: bool = True,
@@ -64,7 +68,13 @@ class MultiBucketBranch(nn.Module):
             if images.shape[0] == 0:
                 continue
             if tower is not None:
-                feats_2d = tower(images, train and not self.frozen)
+                t_train = train and not self.frozen
+                if self.remat_tower and not self.frozen:
+                    feats_2d = nn.remat(lambda mdl, im: mdl(im, t_train))(
+                        tower, images
+                    )
+                else:
+                    feats_2d = tower(images, t_train)
                 if self.frozen:
                     import jax
 
