@@ -12,8 +12,9 @@ Conventions (verified against the reference, SURVEY.md §A.1):
     triplet; ``t = atan2(y, x)``, ``p = acos(z / r)``;
     ``w = ((W-1)(1 - t/pi)/2) mod W``, ``h = ((H-1) p/pi) mod H``
     (visibility.py:151-216).
-  * ``scannet`` — 4x4 world->cam extrinsic (inverted to cam->world inside),
-    pinhole ``u = fx px/pz + mx`` (visibility.py:220-285).
+  * ``scannet`` — 4x4 cam->world pose (inverted to world->cam inside, as
+    the reference does), pinhole ``u = fx px/pz + mx``
+    (visibility.py:220-285).
   * ``kitti360_perspective`` — 4x4 cam->world extrinsic, ``p = R^T (x - T)``
     then pinhole (visibility.py:238-247).
   * ``kitti360_fisheye`` — cam->world extrinsic + MEI model
@@ -65,12 +66,17 @@ class Camera:
     mask: Optional[np.ndarray] = None    # [W, H] bool static-pixel mask
 
     def center(self):
-        """World-space camera center for distance computations."""
+        """World-space camera center for distance computations.
+
+        For both pinhole conventions and the fisheye model the stored
+        extrinsic is the cam->world pose, so the center is its translation
+        column — the reference reads ScanNet centers the same way
+        (datasets/segmentation/multimodal/scannet.py:192:
+        ``xyz = extrinsic[:, :3, 3]``); projection inverts internally for
+        the scannet model (visibility.py:234-236)."""
         if self.pos is not None:
             return jnp.asarray(self.pos, jnp.float32)
         e = jnp.asarray(self.extrinsic, jnp.float32)
-        if self.model == "scannet":
-            return jnp.linalg.inv(e)[:3, 3]
         return e[:3, 3]
 
 

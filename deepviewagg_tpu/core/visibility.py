@@ -376,41 +376,69 @@ def project_features(camera: _cam.Camera, xyz, geo=None):
 
 def depth_map_visibility(x_proj, y_proj, dist, depth_map, depth_threshold=0.05):
     """Visibility by comparison against a provided sensor depth map
-    (S3DIS 16-bit PNG path, visibility.py:1328-1394): a point is seen if its
-    distance is within ``depth_threshold`` (relative) of the map's depth at
-    its projection pixel."""
+    (S3DIS 16-bit PNG path, visibility.py:1360-1388): a point is seen if
+    ``|depth_map[x, y] - dist| <= depth_threshold`` (ABSOLUTE meters, the
+    reference's rule); empty pixels hold a negative sentinel and can never
+    pass for positive distances."""
     depth_map = jnp.asarray(depth_map, jnp.float32)
     w, h = depth_map.shape
     xi = jnp.clip(x_proj.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(y_proj.astype(jnp.int32), 0, h - 1)
     d_ref = depth_map[xi, yi]
-    ok = (d_ref > 0) & (jnp.abs(dist - d_ref) <= depth_threshold * d_ref)
-    return ok
+    return jnp.abs(d_ref - dist) <= depth_threshold
 
 
 def biasutti_visibility(x_proj, y_proj, dist, valid, k: int = 75,
-                        margin: float = 0.1):
+                        threshold=None, x_margin=None, x_width=None):
     """Image-space kNN visibility (Biasutti et al.; reference
-    ``BiasuttiVisibility`` visibility.py:1395-1460 over pykeops): a point is
-    visible when its depth is close to the minimum among its k nearest
-    *projected* neighbors — no splatting, no z-buffer.
+    ``visibility_biasutti`` visibility.py:1464-1500 over a pykeops kNN): a
+    point is visible when ``alpha = exp(-((d - d_min)/(d_max - d_min))^2)``
+    over its k nearest *projected* neighbors is ``>= threshold`` (default:
+    the mean alpha, the reference's rule) — no splatting, no z-buffer.
 
-    Returns a bool mask over points.
+    ``x_margin``/``x_width`` enable the reference's X-wrapped neighbor
+    search for equirectangular panoramas (``k_nn_image_system``,
+    visibility.py:1395-1460): points within ``x_margin`` pixels of either
+    border also appear shifted by ±``x_width`` in the search set.
+
+    Returns a bool mask over points (static shape: invalid points stay
+    False and never appear as neighbors).
     """
     from ..ops.knn import knn
-    import numpy as np
 
+    x_proj = jnp.asarray(x_proj, jnp.float32)
+    y_proj = jnp.asarray(y_proj, jnp.float32)
+    dist = jnp.asarray(dist, jnp.float32)
+    valid = jnp.asarray(valid, bool)
     pix = jnp.stack([x_proj, y_proj], axis=1)
-    d2, idx = knn(pix, pix, k=k, valid=valid)
-    nbr_depth = jnp.asarray(np.asarray(dist))[jnp.asarray(idx)]
+    wrap = (x_margin is not None and x_margin > 0
+            and x_width is not None and x_width > 0)
+    if wrap:
+        off = jnp.asarray([[float(x_width), 0.0]], jnp.float32)
+        search = jnp.concatenate([pix, pix + off, pix - off])
+        search_valid = jnp.concatenate([
+            valid,
+            valid & (x_proj <= x_margin),
+            valid & (x_proj >= x_width - x_margin),
+        ])
+        nbr_dist_src = jnp.concatenate([dist] * 3)
+    else:
+        search, search_valid, nbr_dist_src = pix, valid, dist
+    d2, idx = knn(pix, search, k=k, valid=search_valid)
+    nbr_depth = nbr_dist_src[idx]
     # rows with fewer than k valid candidates get filler indices (their d2
     # is the 1e30 sentinel) — exclude those neighbors from the depth range
-    ok = jnp.asarray(d2) < 1e29
+    ok = d2 < 1e29
     d_min = jnp.min(jnp.where(ok, nbr_depth, jnp.inf), axis=1)
     d_max = jnp.max(jnp.where(ok, nbr_depth, -jnp.inf), axis=1)
     span_ok = jnp.isfinite(d_min) & jnp.isfinite(d_max)
-    alpha = (jnp.asarray(dist) - d_min) / jnp.maximum(d_max - d_min, 1e-6)
-    return jnp.asarray(valid) & span_ok & (alpha <= margin)
+    alpha = jnp.exp(-(((dist - d_min)
+                       / jnp.maximum(d_max - d_min, 1e-12)) ** 2))
+    alpha = jnp.where(valid & span_ok, alpha, jnp.nan)
+    if threshold is None:
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        threshold = jnp.nansum(jnp.where(valid, alpha, 0.0)) / n_valid
+    return valid & span_ok & (alpha >= threshold)
 
 
 def normalize_depth(dist, r_min=0.5, r_max=30.0):

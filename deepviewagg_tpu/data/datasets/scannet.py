@@ -101,12 +101,13 @@ def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20):
         cam_to_world = load_pose(pose_path)
         if not np.isfinite(cam_to_world).all():
             continue
-        extrinsic = np.linalg.inv(cam_to_world)  # world -> cam
+        # reference convention: the scannet extrinsic IS the cam->world pose
+        # (multimodal/scannet.py:166,192); projection inverts internally
         out.append({
             "path": color,
             "camera": Camera(
                 model="scannet", size=tuple(image_size),
-                extrinsic=extrinsic, intrinsic=k,
+                extrinsic=cam_to_world, intrinsic=k,
                 r_min=R_MIN, r_max=R_MAX,
             ),
         })

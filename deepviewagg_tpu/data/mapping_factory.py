@@ -34,7 +34,9 @@ class VisibilityParams:
       * ``method='splatting'``: z-buffer splats (``SplattingVisibility``,
         :1764 — voxel, k_swell, d_swell, exact);
       * ``method='biasutti'``: image-space kNN depth test
-        (``BiasuttiVisibility``, :1790 — biasutti_k, biasutti_margin);
+        (``BiasuttiVisibility``, :1790 — biasutti_k, biasutti_margin is the
+        equirectangular X-wrap pixel margin, biasutti_threshold the alpha
+        cut, default mean-alpha);
       * ``method='depth'``: compare against provided sensor depth maps
         (``DepthBasedVisibility``, :1779 — depth_threshold; pass
         ``depth_maps`` to :func:`build_mappings`).
@@ -42,7 +44,8 @@ class VisibilityParams:
 
     def __init__(self, voxel=0.05, k_swell=1.0, d_swell=1000.0, exact=False,
                  max_splat=8, knn_k=16, method="splatting",
-                 biasutti_k=75, biasutti_margin=0.1, depth_threshold=0.05):
+                 biasutti_k=75, biasutti_margin=None,
+                 biasutti_threshold=None, depth_threshold=0.05):
         assert method in ("splatting", "biasutti", "depth"), method
         self.voxel = voxel
         self.k_swell = k_swell
@@ -53,6 +56,7 @@ class VisibilityParams:
         self.method = method
         self.biasutti_k = biasutti_k
         self.biasutti_margin = biasutti_margin
+        self.biasutti_threshold = biasutti_threshold
         self.depth_threshold = depth_threshold
 
 
@@ -137,7 +141,8 @@ def build_mappings(
             if params.method == "biasutti":
                 seen = _vis.biasutti_visibility(
                     xp, yp, dist, valid, k=params.biasutti_k,
-                    margin=params.biasutti_margin,
+                    threshold=params.biasutti_threshold,
+                    x_margin=params.biasutti_margin, x_width=cam.size[0],
                 )
             else:
                 if depth_maps is None or depth_maps[i] is None:

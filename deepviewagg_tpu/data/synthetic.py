@@ -122,7 +122,8 @@ def make_scene(
                 r_min=0.2, r_max=r_max,
             ))
         elif camera_model == "scannet":
-            # inward-looking pinhole: world->cam extrinsic
+            # inward-looking pinhole: cam->world pose (the scannet extrinsic
+            # convention — projection inverts internally)
             target = np.array([lx / 2, ly / 2, 1.0])
             fwd = target - cpos
             fwd = fwd / (np.linalg.norm(fwd) + 1e-9)
@@ -131,10 +132,9 @@ def make_scene(
             right /= np.linalg.norm(right) + 1e-9
             dn = np.cross(fwd, right)
             r_wc = np.stack([right, dn, fwd])      # world -> cam rows
-            t_wc = -r_wc @ cpos
             extr = np.eye(4, dtype=np.float32)
-            extr[:3, :3] = r_wc
-            extr[:3, 3] = t_wc
+            extr[:3, :3] = r_wc.T                  # cam -> world rotation
+            extr[:3, 3] = cpos
             w, h = image_size
             k = np.eye(4, dtype=np.float32)
             k[0, 0] = k[1, 1] = 0.8 * w

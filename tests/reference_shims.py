@@ -96,6 +96,53 @@ def _torch_scatter_module() -> types.ModuleType:
     return mod
 
 
+def _numba_module() -> types.ModuleType:
+    """Passthrough ``numba`` shim: the reference's ``@njit`` CPU kernels are
+    pure numpy, so running them un-jitted (slow but exact) gives the actual
+    reference semantics without the numba dependency."""
+    mod = types.ModuleType("numba")
+
+    def njit(fn=None, **_kwargs):
+        if callable(fn):
+            return fn
+        return lambda f: f
+
+    mod.njit = njit
+    mod.jit = njit
+    return mod
+
+
+class _LazyTensor:
+    """Dense shim for the two-operand pykeops pattern the reference uses
+    (visibility.py:1440-1443): ``((LazyTensor(q[:, None, :]) -
+    LazyTensor(s[None, :, :])) ** 2).sum(dim=2).argKmin(k, dim=1)``.
+    Implemented densely in plain torch from the documented keops semantics
+    (exact brute-force kNN)."""
+
+    def __init__(self, t):
+        self.t = t
+
+    def __sub__(self, other):
+        return _LazyTensor(self.t - other.t)
+
+    def __pow__(self, p):
+        return _LazyTensor(self.t ** p)
+
+    def sum(self, dim=-1):
+        return _LazyTensor(self.t.sum(dim=dim))
+
+    def argKmin(self, k, dim=1):
+        return self.t.topk(k, dim=dim, largest=False).indices
+
+
+def _pykeops_module() -> types.ModuleType:
+    mod = types.ModuleType("pykeops")
+    sub = types.ModuleType("pykeops.torch")
+    sub.LazyTensor = _LazyTensor
+    mod.torch = sub
+    return mod
+
+
 # --------------------------------------------------------------- loader ----
 def load_reference_module(relpath: str, name: str):
     """Execute a reference source file under ``name`` without importing its
@@ -106,6 +153,12 @@ def load_reference_module(relpath: str, name: str):
         sys.path.insert(0, REFERENCE_ROOT)
     if "torch_scatter" not in sys.modules:
         sys.modules["torch_scatter"] = _torch_scatter_module()
+    if "numba" not in sys.modules:
+        sys.modules["numba"] = _numba_module()
+    if "pykeops" not in sys.modules:
+        pk = _pykeops_module()
+        sys.modules["pykeops"] = pk
+        sys.modules["pykeops.torch"] = pk.torch
     spec = importlib.util.spec_from_file_location(
         name, f"{REFERENCE_ROOT}/{relpath}"
     )
@@ -129,6 +182,14 @@ def load_reference_pooling():
 def load_reference_fusion():
     return load_reference_module(
         "torch_points3d/modules/multimodal/fusion.py", "ref_mm_fusion"
+    )
+
+
+def load_reference_visibility():
+    """The reference's full visibility/projection module, running its
+    un-jitted numba CPU kernels (exact numpy semantics)."""
+    return load_reference_module(
+        "torch_points3d/core/multimodal/visibility.py", "ref_mm_visibility"
     )
 
 

@@ -118,8 +118,8 @@ def test_scannet_pipeline(tmp_path, rng):
         "label": nyu,
     })
     for i, cam in enumerate(scene.cameras):
-        cam_to_world = np.linalg.inv(cam.extrinsic)
-        np.savetxt(os.path.join(scan, "pose", f"{i}.txt"), cam_to_world)
+        # the synthetic scannet extrinsic IS the cam->world pose file content
+        np.savetxt(os.path.join(scan, "pose", f"{i}.txt"), cam.extrinsic)
         img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(scan, "color", f"{i}.jpg"))
     np.savetxt(os.path.join(scan, "intrinsic", "intrinsic_color.txt"),

@@ -23,9 +23,10 @@ def test_biasutti_foreground_visible(rng):
                  pos=np.zeros(3, np.float32),
                  opk=np.zeros(3, np.float32), r_min=0.1, r_max=30.0)
     x, y, dist, valid = project(pos, cam)
-    vis = np.asarray(biasutti_visibility(x, y, dist, valid, k=16, margin=0.2))
-    assert vis[:n].mean() > 0.8          # near wall visible
-    assert vis[n:].mean() < 0.3          # far wall occluded
+    vis = np.asarray(biasutti_visibility(x, y, dist, valid, k=16,
+                                         threshold=0.7))
+    assert vis[:n].mean() > 0.8          # near wall visible (alpha ~ 1)
+    assert vis[n:].mean() < 0.3          # far wall occluded (alpha ~ e^-1)
 
 
 def test_fisheye_calib_parsing(tmp_path):
@@ -75,7 +76,7 @@ def test_visibility_method_dispatch_biasutti_and_depth():
     m_b = build_mappings(
         scene.pos, scene.cameras,
         VisibilityParams(voxel=0.08, method="biasutti", biasutti_k=16,
-                         biasutti_margin=0.3),
+                         biasutti_margin=4),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
     assert m_b.num_views > 0 and m_b.num_pixels == m_b.num_views
