@@ -121,32 +121,79 @@ class MultiViewMapping:
         coarse index of fine point ``i`` (pad -> >= new_num_points).
 
         The reference's ``ImageMapping.select_points(idx, mode='merge')``
-        (image.py:2167) — views of merged points concatenate under the coarse
-        id; views are re-sorted, and the pixel table follows via the inverse
-        view permutation.  Host-side because parents are known at graph-build
-        time.
+        (image.py:2167-2277): fine views of the same coarse (point, image)
+        pair MERGE into one view whose features are the unweighted mean of
+        the duplicates (``scatter_mean`` over composite view ids,
+        image.py:2231-2246), and duplicate (view, pixel) rows collapse
+        (``lexargunique``, image.py:2262-2267).  Host-side because parents
+        are known at graph-build time; static capacities are preserved
+        (merged rows become padding).
         """
         parent = np.asarray(parent, np.int64)
+        vc = self.view_capacity
         new_pid = np.where(
             self.view_valid, parent[np.minimum(self.point_id, len(parent) - 1)],
             new_num_points,
         )
         new_pid = np.minimum(new_pid, new_num_points)
-        order = np.argsort(new_pid, kind="stable")
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        vc = self.view_capacity
-        new_pix_view = np.where(self.pix_valid, inv[np.minimum(self.pix_view, vc - 1)], vc)
-        pix_order = np.argsort(new_pix_view, kind="stable")
+
+        # composite (point, image) key; pads sort last
+        n_img = max(int(self.num_images), 1)
+        key = np.where(self.view_valid, new_pid * n_img + self.image_id,
+                       new_num_points * n_img)
+        uniq, inv_v, counts = np.unique(key, return_inverse=True,
+                                        return_counts=True)
+        n_groups = len(uniq)
+        has_pad = bool((uniq == new_num_points * n_img).any())
+        n_valid = n_groups - int(has_pad)
+
+        # unweighted mean of duplicate view features (reference
+        # scatter_mean semantics)
+        feats = np.zeros((n_groups, self.view_feats.shape[1]), np.float64)
+        np.add.at(feats, inv_v, self.view_feats.astype(np.float64))
+        feats = (feats / np.maximum(counts, 1)[:, None]).astype(np.float32)
+
+        point_id = np.minimum(uniq // n_img, new_num_points).astype(np.int32)
+        image_id = np.where(np.arange(n_groups) < n_valid,
+                            uniq % n_img, 0).astype(np.int32)
+        point_id[n_valid:] = new_num_points
+
+        # pixel rows re-point to merged views, then (view, x, y) dedupe
+        pix_group = np.where(
+            self.pix_valid, inv_v[np.minimum(self.pix_view, vc - 1)],
+            n_groups,
+        )
+        pix_ok = self.pix_valid & (pix_group < n_valid)
+        w = max(int(self.pix_x.max(initial=0)), int(self.pix_y.max(initial=0))) + 2
+        pix_key = np.where(
+            pix_ok,
+            (pix_group.astype(np.int64) * w + self.pix_x) * w + self.pix_y,
+            np.int64(n_groups) * w * w,
+        )
+        puniq, pfirst = np.unique(pix_key, return_index=True)
+        p_has_pad = bool((puniq == np.int64(n_groups) * w * w).any())
+        p_valid = len(puniq) - int(p_has_pad)
+
+        qc = self.pixel_capacity
+        pix_view = np.full(qc, vc, np.int32)
+        pix_x = np.zeros(qc, self.pix_x.dtype)
+        pix_y = np.zeros(qc, self.pix_y.dtype)
+        pix_valid = np.zeros(qc, bool)
+        src = pfirst[:p_valid]
+        pix_view[:p_valid] = pix_group[src]
+        pix_x[:p_valid] = self.pix_x[src]
+        pix_y[:p_valid] = self.pix_y[src]
+        pix_valid[:p_valid] = True
+
         return MultiViewMapping(
-            point_id=new_pid[order].astype(np.int32),
-            image_id=self.image_id[order],
-            view_feats=self.view_feats[order],
-            view_valid=self.view_valid[order],
-            pix_view=new_pix_view[pix_order].astype(np.int32),
-            pix_x=self.pix_x[pix_order],
-            pix_y=self.pix_y[pix_order],
-            pix_valid=self.pix_valid[pix_order],
+            point_id=pad_to(point_id, vc, fill=new_num_points),
+            image_id=pad_to(image_id, vc, fill=0),
+            view_feats=pad_to(feats, vc, fill=0.0),
+            view_valid=pad_to(np.arange(n_groups) < n_valid, vc, fill=False),
+            pix_view=pix_view,
+            pix_x=pix_x,
+            pix_y=pix_y,
+            pix_valid=pix_valid,
             num_points=new_num_points,
             num_images=self.num_images,
         )

@@ -88,11 +88,23 @@ def scatter_min(src, index, dim=-1, out=None, dim_size=None):
     return _scatter_extremum(src, index, dim, dim_size, "amin")
 
 
+def scatter_mean(src, index, dim=-1, out=None, dim_size=None):
+    assert out is None
+    assert dim in (0, -src.dim()), "shim supports dim=0 only"
+    n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+    res = torch.zeros((n,) + tuple(src.shape[1:]), dtype=src.dtype)
+    res.index_add_(0, index, src)
+    counts = torch.zeros(n, dtype=src.dtype)
+    counts.index_add_(0, index, torch.ones(index.shape[0], dtype=src.dtype))
+    return res / counts.clamp(min=1).reshape((-1,) + (1,) * (src.dim() - 1))
+
+
 def _torch_scatter_module() -> types.ModuleType:
     mod = types.ModuleType("torch_scatter")
     mod.segment_csr = segment_csr
     mod.scatter_max = scatter_max
     mod.scatter_min = scatter_min
+    mod.scatter_mean = scatter_mean
     return mod
 
 
@@ -190,6 +202,42 @@ def load_reference_visibility():
     un-jitted numba CPU kernels (exact numpy semantics)."""
     return load_reference_module(
         "torch_points3d/core/multimodal/visibility.py", "ref_mm_visibility"
+    )
+
+
+def _stub_package(name: str) -> None:
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        mod.__path__ = []          # mark as package, no __init__ side effects
+        sys.modules[name] = mod
+
+
+def load_reference_image():
+    """The reference's CSR container + image holder + ImageMapping module
+    (core/multimodal/{csr,image}.py), loaded under their real dotted names
+    with stub parent packages so the heavy torch_points3d ``__init__`` chain
+    (torch_geometric, hydra, ...) never executes."""
+    if "torch_points3d.core.multimodal.image" in sys.modules:
+        return sys.modules["torch_points3d.core.multimodal.image"]
+    for p in ("torch_points3d", "torch_points3d.core",
+              "torch_points3d.core.multimodal", "torch_points3d.utils"):
+        _stub_package(p)
+    load_reference_module(
+        "torch_points3d/utils/multimodal.py", "torch_points3d.utils.multimodal"
+    )
+    csr = load_reference_module(
+        "torch_points3d/core/multimodal/csr.py",
+        "torch_points3d.core.multimodal.csr",
+    )
+    pkg = sys.modules["torch_points3d.core.multimodal"]
+    pkg.CSRData, pkg.CSRBatch = csr.CSRData, csr.CSRBatch
+    load_reference_module(
+        "torch_points3d/core/multimodal/visibility.py",
+        "torch_points3d.core.multimodal.visibility",
+    )
+    return load_reference_module(
+        "torch_points3d/core/multimodal/image.py",
+        "torch_points3d.core.multimodal.image",
     )
 
 

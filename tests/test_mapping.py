@@ -56,8 +56,13 @@ def test_merge_points_preserves_views(scene_and_mapping):
     parent = np.arange(n, dtype=np.int64) // 2
     merged = m.merge_points(parent, (n + 1) // 2)
     merged.check()
-    assert merged.num_views == m.num_views
-    assert merged.num_pixels == m.num_pixels
+    # reference merge semantics (image.py:2167-2277): views of the same
+    # coarse (point, image) pair merge into one; duplicate pixels collapse
+    v = m.view_valid
+    key = parent[m.point_id[v]] * m.num_images + m.image_id[v]
+    assert merged.num_views == len(np.unique(key))
+    assert merged.num_pixels <= m.num_pixels
+    assert merged.num_pixels >= merged.num_views
     # a point seen before must map to a seen coarse point
     seen_f = m.points_seen()
     seen_c = merged.points_seen()
