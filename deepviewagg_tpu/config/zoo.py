@@ -192,6 +192,8 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
             remat_tower=b.get("remat_tower", True),
             tower_norm=b.get("tower_norm", "group"),
             frozen=b.get("frozen", False),
+            tower_bf16=b.get("tower_bf16",
+                             entry.get("tower_bf16", True)),
         ))
         for b in entry.get("branches", [])
     )

@@ -65,6 +65,9 @@ class BranchSpec:
     # frozen pretrained tower (ref modalities/image.py:737): stop_gradient +
     # frozen BN stats in forward; the optimizer also masks the tower subtree
     frozen: bool = False
+    # bf16 tower activations (f32 params/accumulation) — halves the tower's
+    # HBM traffic on TPU; set False for strict f32 parity runs
+    tower_bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,6 +204,7 @@ class MultimodalSeg(nn.Module):
                         fusion_mode=spec.fusion_mode,
                         remat_tower=spec.remat_tower,
                         frozen=spec.frozen,
+                        tower_bf16=spec.tower_bf16,
                         name=name,
                     )
                     x, seen = branch(x, mm, train=train,
@@ -220,6 +224,7 @@ class MultimodalSeg(nn.Module):
                         fusion_mode=spec.fusion_mode,
                         remat_tower=spec.remat_tower,
                         frozen=spec.frozen,
+                        tower_bf16=spec.tower_bf16,
                         name=name,
                     )
                     x, seen, _ = branch(
@@ -289,7 +294,8 @@ class No3DSeg(nn.Module):
             atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
             num_groups=bspec.num_groups, gated=bspec.gated,
             interpolate=bspec.interpolate, fusion_mode="modality",
-            keep_last_view=True, frozen=bspec.frozen, name="branch",
+            keep_last_view=True, frozen=bspec.frozen,
+            tower_bf16=bspec.tower_bf16, name="branch",
         )
         pooled, x_seen, extras = branch(
             None, images, batch["mappings"][level], ref_size, train=train,
@@ -336,7 +342,8 @@ class LateFusionSeg(nn.Module):
             atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
             num_groups=bspec.num_groups, gated=bspec.gated,
             interpolate=bspec.interpolate, fusion_mode="modality",
-            remat_tower=bspec.remat_tower, frozen=bspec.frozen, name="branch",
+            remat_tower=bspec.remat_tower, frozen=bspec.frozen,
+            tower_bf16=bspec.tower_bf16, name="branch",
         )
         x2d, x_seen, _ = branch(
             None, images, batch["mappings"][0],

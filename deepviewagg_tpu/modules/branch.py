@@ -85,6 +85,9 @@ class UnimodalBranch(nn.Module):
     # frozen pretrained tower (ref modalities/image.py:737 'frozen' option):
     # run with frozen BN stats and stop_gradient so no grads flow to it
     frozen: bool = False
+    # bf16 tower activations (params/accumulation stay f32); the pooling
+    # and fusion math downstream is always f32
+    tower_bf16: bool = True
 
     @nn.compact
     def __call__(
@@ -103,18 +106,12 @@ class UnimodalBranch(nn.Module):
 
         # --- 2D tower ---------------------------------------------------
         if self.tower is not None:
-            tower = self.tower()
-            t_train = train and not self.frozen
-            if self.remat_tower and not self.frozen:
-                # lifted remat over a function taking the module first —
-                # replaces the reference's 'c' checkpoint flag (modules.py:283)
-                feats_2d = nn.remat(lambda mdl, im: mdl(im, t_train))(
-                    tower, images
-                )
-            else:
-                feats_2d = tower(images, t_train)
-            if self.frozen:
-                feats_2d = jax.lax.stop_gradient(feats_2d)
+            from .image_encoders import run_tower
+
+            feats_2d = run_tower(
+                self.tower(), images, train, remat=self.remat_tower,
+                frozen=self.frozen, bf16=self.tower_bf16,
+            )
         else:
             feats_2d = images
 

@@ -64,8 +64,11 @@ class Conv2dWS(nn.Module):
             (kh // 2 * self.dilation[0], kh // 2 * self.dilation[0]),
             (kw // 2 * self.dilation[1], kw // 2 * self.dilation[1]),
         )
-        # both operands bf16, output cast back: keeps fwd and transpose convs
-        # dtype-consistent (XLA accumulates bf16 convs in f32 on TPU)
+        # both operands bf16 on the MXU (XLA accumulates in f32 on TPU); the
+        # OUTPUT dtype follows the input's, so a caller that feeds bf16
+        # activations keeps the whole tower's materialized buffers at half
+        # the HBM traffic, while f32 callers (weight-conversion parity
+        # tests) see unchanged numerics
         y = jax.lax.conv_general_dilated(
             x.astype(jnp.bfloat16),
             w.astype(jnp.bfloat16),
@@ -73,10 +76,33 @@ class Conv2dWS(nn.Module):
             padding=pad,
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        ).astype(x.dtype)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
+
+
+def run_tower(tower, images, train: bool, *, remat: bool = False,
+              frozen: bool = False, bf16: bool = True):
+    """Shared tower driver for the branch modules: optional bf16 activation
+    policy (params stay f32, conv accumulation stays f32 on the MXU; the
+    inter-layer buffers — the HBM-bound term at recipe image sizes — halve),
+    optional ``nn.remat`` (the reference's 'c' checkpoint flag,
+    modules.py:283-292) and frozen-tower stop_gradient
+    (modalities/image.py:737).  Output is always f32 for the gather/pooling
+    math."""
+    t_train = train and not frozen
+    if bf16:
+        images = images.astype(jnp.bfloat16)
+    if remat and not frozen:
+        y = nn.remat(lambda mdl, im: mdl(im, t_train))(tower, images)
+    else:
+        y = tower(images, t_train)
+    y = y.astype(jnp.float32)
+    if frozen:
+        y = jax.lax.stop_gradient(y)
+    return y
 
 
 class _Norm(nn.Module):
@@ -85,13 +111,18 @@ class _Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # statistics always in f32 (bf16 mean/var over large maps drifts);
+        # output returns to the caller's activation dtype
+        dt = x.dtype
+        x = x.astype(jnp.float32)
         if self.kind == "group":
             g = self.num_groups
             c = x.shape[-1]
             while c % g:
                 g -= 1
-            return nn.GroupNorm(num_groups=g)(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            return nn.GroupNorm(num_groups=g)(x).astype(dt)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9)(x).astype(dt)
 
 
 class _BasicBlock2d(nn.Module):
@@ -184,9 +215,12 @@ class PPM(nn.Module):
         ws = self.norm == "group"
         feats = [x]
         for b in self.bins:
-            # adaptive avg pool to (b, b)
+            # adaptive avg pool to (b, b) — f32 accumulation (bf16 sums over
+            # up-to-full-image windows lose precision)
             ph, pw = -(-h // b), -(-w // b)
-            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw), padding="SAME")
+            pooled = nn.avg_pool(
+                x.astype(jnp.float32), (ph, pw), strides=(ph, pw),
+                padding="SAME").astype(x.dtype)
             y = Conv2dWS(self.out_channels, (1, 1), standardize=ws)(pooled)
             y = _Norm(self.norm)(y, train)
             y = nn.relu(y)

@@ -48,6 +48,7 @@ class MultiBucketBranch(nn.Module):
     # flag (modules.py:283); at recipe-scale 2D (1024x512 crops) the stored
     # activations otherwise dominate HBM
     remat_tower: bool = False
+    tower_bf16: bool = True       # bf16 tower activations (see branch.py)
 
     @nn.compact
     def __call__(self, x_3d, mm: Dict, train: bool = True,
@@ -68,17 +69,12 @@ class MultiBucketBranch(nn.Module):
             if images.shape[0] == 0:
                 continue
             if tower is not None:
-                t_train = train and not self.frozen
-                if self.remat_tower and not self.frozen:
-                    feats_2d = nn.remat(lambda mdl, im: mdl(im, t_train))(
-                        tower, images
-                    )
-                else:
-                    feats_2d = tower(images, t_train)
-                if self.frozen:
-                    import jax
+                from .image_encoders import run_tower
 
-                    feats_2d = jax.lax.stop_gradient(feats_2d)
+                feats_2d = run_tower(
+                    tower, images, train, remat=self.remat_tower,
+                    frozen=self.frozen, bf16=self.tower_bf16,
+                )
             else:
                 feats_2d = images
             ref_size = (images.shape[1], images.shape[2])

@@ -208,7 +208,11 @@ def load_reference_visibility():
 def _stub_package(name: str) -> None:
     if name not in sys.modules:
         mod = types.ModuleType(name)
-        mod.__path__ = []          # mark as package, no __init__ side effects
+        # real __path__ so OTHER submodules (e.g. core.common_modules, which
+        # pooling.py imports and whose deps are only torch/numpy) still
+        # resolve through the normal finder; the stub only skips THIS
+        # package's __init__ side effects
+        mod.__path__ = [f"{REFERENCE_ROOT}/{name.replace('.', '/')}"]
         sys.modules[name] = mod
 
 

@@ -201,3 +201,30 @@ def test_early_branch_runs_pre_stem():
     assert stem_kernel.shape[1] == in_feats + branch_out, (
         f"stem input {stem_kernel.shape[1]} != raw {in_feats} + branch "
         f"{branch_out}: early branch is not pre-stem")
+
+
+def test_tower_bf16_matches_f32(batch):
+    """The bf16 tower activation policy (BranchSpec.tower_bf16, default on)
+    halves tower HBM traffic; numerics must stay within bf16 rounding of
+    the strict-f32 path since conv accumulation and all norm statistics
+    remain f32 (image_encoders.run_tower)."""
+    def build(bf16):
+        spec = ModelSpec(
+            num_classes=4, in_channels=4, backbone="Res16UNetTest",
+            branches=((0, BranchSpec(tower="resnet18_l1", out_channels=16,
+                                     num_groups=2, remat_tower=False,
+                                     tower_bf16=bf16)),),
+        )
+        return MultimodalSeg(spec)
+
+    m16, m32 = build(True), build(False)
+    v = m16.init(jax.random.PRNGKey(0), batch, train=False)
+    o16 = m16.apply(v, batch, train=False)
+    o32 = m32.apply(v, batch, train=False)
+    n = batch["meta"]["num_valid"]
+    a, b = np.asarray(o16["logits"][:n]), np.asarray(o32["logits"][:n])
+    assert np.isfinite(a).all()
+    # bf16 has ~3 decimal digits; logits are O(1)
+    np.testing.assert_allclose(a, b, atol=0.15, rtol=0.1)
+    # and the branch output is not degenerate
+    assert np.abs(a).max() > 1e-3

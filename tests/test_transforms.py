@@ -49,8 +49,13 @@ def test_quantize_cloud_merges_mapping(cloud):
     assert len(q["pos"]) < len(cloud["pos"])
     q["mapping"].check()
     assert q["mapping"].num_points == len(q["pos"])
-    # views survive the merge
-    assert q["mapping"].num_views == cloud["mapping"].num_views
+    # views of the same coarse (point, image) pair merge into one
+    # (ref image.py:2231-2246 scatter_mean over composite ids), so the
+    # merged mapping has exactly the unique pairs, each appearing once
+    m = q["mapping"]
+    pairs = np.stack([m.point_id[m.view_valid], m.image_id[m.view_valid]], 1)
+    assert len(np.unique(pairs, axis=0)) == m.num_views
+    assert 0 < m.num_views <= cloud["mapping"].num_views
 
 
 def test_pick_images_by_credit(cloud, rng):
