@@ -69,6 +69,8 @@ class TrainingCfg:
     view_loss_weight: float = 0.0
     eval_frequency: int = 1
     data_parallel: bool = False
+    # shard the 2D towers' image axis over this many devices per data shard
+    view_parallel: int = 1
     run_dir: Optional[str] = None
     resume: bool = False
     seed: int = 0

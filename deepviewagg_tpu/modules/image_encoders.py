@@ -21,6 +21,7 @@ Pretrained torch checkpoints are converted offline by
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Sequence, Tuple
 
@@ -29,7 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["Conv2dWS", "ResNet18", "PPM", "ResNet18PPM", "ResNet18Pyramid",
-           "PersistentDropout2d", "UNet2D", "OUT_CHANNELS"]
+           "PersistentDropout2d", "UNet2D", "OUT_CHANNELS", "run_tower",
+           "view_shard_axis"]
 
 # channels of each tap level for ResNet18: stem, layer1..layer4
 OUT_CHANNELS = (64, 64, 128, 256, 512)
@@ -69,9 +71,10 @@ class Conv2dWS(nn.Module):
         # activations keeps the whole tower's materialized buffers at half
         # the HBM traffic, while f32 callers (weight-conversion parity
         # tests) see unchanged numerics
+        op_dt = jnp.float32 if _CONV_F32[-1] else jnp.bfloat16
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16),
-            w.astype(jnp.bfloat16),
+            x.astype(op_dt),
+            w.astype(op_dt),
             window_strides=self.strides,
             padding=pad,
             rhs_dilation=self.dilation,
@@ -83,6 +86,43 @@ class Conv2dWS(nn.Module):
         return y
 
 
+# Test-scoped escape hatch: run convs at f32 operand precision so
+# bit-for-bit equivalence proofs (e.g. sharded-vs-unsharded towers) are not
+# clouded by bf16 tiling-order noise.  Production always uses bf16 operands
+# (MXU native, f32 accumulation).
+_CONV_F32 = [False]
+
+
+@contextlib.contextmanager
+def f32_convs():
+    """While tracing, make every Conv2dWS use f32 operands (exact math)."""
+    _CONV_F32.append(True)
+    try:
+        yield
+    finally:
+        _CONV_F32.pop()
+
+
+# Trainer-scoped mesh axis for VIEW PARALLELISM: while tracing inside
+# ``shard_map`` with this axis active, every tower runs only on its device's
+# block of the image axis and the feature maps are ``all_gather``ed back —
+# the 2D towers (the FLOPs-dominant term at recipe image sizes) parallelize
+# over the model axis while the segment-structured 3D path stays replicated.
+# Same context-manager pattern as ``nn.norm.bn_axis_name``.
+_VIEW_SHARD_AXIS = [None]
+
+
+@contextlib.contextmanager
+def view_shard_axis(name: Optional[str]):
+    """While tracing inside ``shard_map(axis_names=(..., name))``, shard every
+    tower's image batch over ``name`` (view parallelism)."""
+    _VIEW_SHARD_AXIS.append(name)
+    try:
+        yield
+    finally:
+        _VIEW_SHARD_AXIS.pop()
+
+
 def run_tower(tower, images, train: bool, *, remat: bool = False,
               frozen: bool = False, bf16: bool = True):
     """Shared tower driver for the branch modules: optional bf16 activation
@@ -91,14 +131,37 @@ def run_tower(tower, images, train: bool, *, remat: bool = False,
     optional ``nn.remat`` (the reference's 'c' checkpoint flag,
     modules.py:283-292) and frozen-tower stop_gradient
     (modalities/image.py:737).  Output is always f32 for the gather/pooling
-    math."""
+    math.
+
+    Under an active :func:`view_shard_axis`, the image batch is block-sharded
+    over that mesh axis: each device runs the tower on ``ceil(I/m)`` images
+    and the full feature maps come back via a tiled ``all_gather`` (its AD
+    transpose is a reduce-scatter, so tower gradients arrive pre-summed —
+    a uniform ``pmean`` over (data, model) then yields exact global grads)."""
     t_train = train and not frozen
     if bf16:
         images = images.astype(jnp.bfloat16)
-    if remat and not frozen:
-        y = nn.remat(lambda mdl, im: mdl(im, t_train))(tower, images)
+
+    def apply(im):
+        if remat and not frozen:
+            return nn.remat(lambda mdl, x: mdl(x, t_train))(tower, im)
+        return tower(im, t_train)
+
+    axis = _VIEW_SHARD_AXIS[-1]
+    if axis is None:
+        y = apply(images)
     else:
-        y = tower(images, t_train)
+        m = jax.lax.axis_size(axis)
+        n_img = images.shape[0]
+        blk = -(-n_img // m)
+        if blk * m != n_img:   # zero-pad to an even block split
+            pad = jnp.zeros((blk * m - n_img,) + images.shape[1:],
+                            images.dtype)
+            images = jnp.concatenate([images, pad], axis=0)
+        k = jax.lax.axis_index(axis)
+        local = jax.lax.dynamic_slice_in_dim(images, k * blk, blk, axis=0)
+        y = jax.lax.all_gather(apply(local), axis, axis=0, tiled=True)
+        y = y[:n_img]
     y = y.astype(jnp.float32)
     if frozen:
         y = jax.lax.stop_gradient(y)

@@ -25,13 +25,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..nn.norm import bn_axis_name
 
-__all__ = ["make_mesh", "stack_batches", "data_parallel_step", "replicate",
+__all__ = ["make_mesh", "make_hybrid_mesh", "stack_batches",
+           "data_parallel_step", "hybrid_parallel_step", "replicate",
            "unreplicate"]
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), (axis,))
+
+
+def make_hybrid_mesh(
+    devices: Optional[Sequence] = None,
+    n_model: int = 2,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    """(data × model) mesh: ``model`` is the minor (fastest-varying) axis so
+    view-parallel all_gathers ride adjacent-chip ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) % n_model == 0, (len(devices), n_model)
+    return Mesh(np.array(devices).reshape(-1, n_model),
+                (data_axis, model_axis))
 
 
 def stack_batches(batches: Sequence[Any]):
@@ -91,6 +106,69 @@ def data_parallel_step(
                 mesh=mesh,
                 in_specs=(P(), P(axis), P()),
                 out_specs=(P(), (P(axis), P())),
+                check_vma=False,
+            )
+            jitted = jax.jit(
+                mapped, donate_argnums=(0,) if donate_state else ()
+            )
+        new_state, (per_dev, repl) = jitted(state, batch, rng)
+        return new_state, {**per_dev, **repl}
+
+    return run
+
+
+def hybrid_parallel_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    donate_state: bool = True,
+    per_device_metrics: Sequence[str] = ("preds",),
+):
+    """Lift a step to a (data × model) mesh: distinct batches over
+    ``data_axis`` (as in :func:`data_parallel_step`) and VIEW PARALLELISM
+    over ``model_axis`` — each model-shard runs the 2D towers on its block
+    of the image axis (``image_encoders.view_shard_axis``) and all_gathers
+    the feature maps, so the tower FLOPs split m-ways while the
+    segment-structured 3D path stays replicated within a data shard.
+
+    Correctness: after the all_gather everything downstream is replicated
+    across ``model_axis``, so replicated params' grads are identical across
+    it, while the all_gather's AD transpose (reduce-scatter) hands each
+    model-shard m× its image block's tower-grad contribution — a uniform
+    ``pmean`` over BOTH axes (build the step with
+    ``make_train_step(axis=(data_axis, model_axis))``) therefore yields
+    exactly the global-mean gradients for every parameter.  BN statistics
+    psum raw sums+counts over both axes, which is invariant to the m-way
+    replication.  Dropout rngs fold the DATA index only, keeping the
+    post-gather compute bit-identical across model shards.
+    """
+    from ..modules.image_encoders import view_shard_axis
+
+    def per_device(state, batch, rng):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        with bn_axis_name((data_axis, model_axis)), \
+                view_shard_axis(model_axis):
+            new_state, metrics = step_fn(state, batch, rng)
+        per_dev = {k: v[None] for k, v in metrics.items()
+                   if k in per_device_metrics}
+        repl = {k: v for k, v in metrics.items()
+                if k not in per_device_metrics}
+        return new_state, (per_dev, repl)
+
+    jitted = None
+
+    def run(state, batches, rng):
+        nonlocal jitted
+        batch = (stack_batches(batches)
+                 if isinstance(batches, (list, tuple)) else batches)
+        if jitted is None:
+            mapped = jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(), P(data_axis), P()),
+                out_specs=(P(), (P(data_axis), P())),
                 check_vma=False,
             )
             jitted = jax.jit(

@@ -49,6 +49,10 @@ class TrainerConfig:
     num_batches_cap: Optional[int] = None    # debugging.num_batches
     selection_metric: str = "val_miou"
     data_parallel: bool = False
+    # view parallelism: shard the 2D towers' image axis over this many
+    # devices per data shard (parallel/mesh.py hybrid_parallel_step);
+    # requires data_parallel and n_devices % view_parallel == 0
+    view_parallel: int = 1
     profile_epochs: tuple = ()               # epochs to capture jax traces
     class_weights: Optional[tuple] = None    # per-class CE weights
     visualize_every: int = 0                 # epochs between sample dumps
@@ -107,7 +111,9 @@ class Trainer:
             tx = optax.MultiSteps(tx, cfg.grad_accumulate)
         self.state = TrainState.create(variables, tx)
 
-        axis = "data" if cfg.data_parallel else None
+        self._hybrid = cfg.data_parallel and cfg.view_parallel > 1
+        axis = (("data", "model") if self._hybrid
+                else "data" if cfg.data_parallel else None)
         self._raw_train_step = make_train_step(
             model, cfg.lovasz_weight, axis=axis,
             class_weights=(None if cfg.class_weights is None
@@ -116,7 +122,12 @@ class Trainer:
         )
         eval_step = make_eval_step(model)
         self._bn_momentum = None
-        if cfg.data_parallel:
+        if self._hybrid:
+            from ..parallel.mesh import make_hybrid_mesh
+
+            self.mesh = make_hybrid_mesh(n_model=cfg.view_parallel)
+            self.state = replicate(self.state, self.mesh)
+        elif cfg.data_parallel:
             self.mesh = make_mesh()
             self.state = replicate(self.state, self.mesh)
         else:
@@ -152,6 +163,10 @@ class Trainer:
             with _bn_ctx(bn_mom):
                 return raw(state, batch, rng)
 
+        if self._hybrid:
+            from ..parallel.mesh import hybrid_parallel_step
+
+            return hybrid_parallel_step(wrapped, self.mesh)
         if self.cfg.data_parallel:
             return data_parallel_step(wrapped, self.mesh)
         return jax.jit(wrapped, donate_argnums=(0,))

@@ -243,18 +243,21 @@ def main(argv=None):
         num_batches_cap=cfg.training.num_batches_cap
         if not cfg.training.early_break else 2,
         data_parallel=cfg.training.data_parallel,
+        view_parallel=cfg.training.view_parallel,
         tensorboard=cfg.training.tensorboard,
         wandb=cfg.training.wandb,
         wandb_project=cfg.training.wandb_project,
     )
     def chunk_per_device(loader):
         """data_parallel contract: each step consumes one bucket-shaped
-        batch per device (trainer.py docstring).  The trailing remainder is
-        DROPPED (drop_last semantics, logged) — repeating batches would give
-        duplicated samples double gradient weight."""
+        batch per DATA shard (trainer.py docstring) — with view_parallel,
+        each data shard spans view_parallel devices sharing one batch.  The
+        trailing remainder is DROPPED (drop_last semantics, logged) —
+        repeating batches would give duplicated samples double gradient
+        weight."""
         import jax
 
-        n = len(jax.devices())
+        n = len(jax.devices()) // max(1, cfg.training.view_parallel)
 
         def gen():
             buf = []
