@@ -100,12 +100,20 @@ def query_coords(table_coords: np.ndarray, query: np.ndarray) -> np.ndarray:
 
 
 def grid_sample(pos: np.ndarray, voxel_size: float, feats=None, labels=None,
-                batch=None, mode: str = "mean", origin=None):
+                batch=None, mode: str = "mean", origin=None,
+                rounding: str = "round"):
     """Voxel-grid downsample a point cloud (GridSampling3D semantics).
 
     ``mode='mean'`` averages features per voxel; ``mode='last'`` keeps one
     representative point.  Labels are reduced by majority vote (the reference
     uses mode='last'/'mean' with label histograms — grid_transform.py:87-165).
+
+    ``rounding='round'`` (default) reproduces the reference's absolute
+    ``torch.round(pos / size)`` grid (grid_transform.py:131) exactly — same
+    cell assignment, possibly negative coords (the int64 key packing is
+    sign-safe, ±2^18 per axis; parity test
+    tests/test_reference_grid_parity.py).  ``rounding='floor'`` anchors
+    cells at the cloud min instead (non-negative coords).
 
     Returns a dict with ``coords [M,4] int32``, ``pos [M,3]`` (voxel means),
     ``feats``, ``labels``, ``inverse [N] int32`` (point -> voxel).
@@ -114,9 +122,12 @@ def grid_sample(pos: np.ndarray, voxel_size: float, feats=None, labels=None,
     n = pos.shape[0]
     if batch is None:
         batch = np.zeros(n, np.int32)
-    if origin is None:
-        origin = pos.min(axis=0)
-    grid = np.floor((pos - origin) / voxel_size).astype(np.int32)
+    if rounding == "round":
+        grid = np.round(pos / voxel_size).astype(np.int32)
+    else:
+        if origin is None:
+            origin = pos.min(axis=0)
+        grid = np.floor((pos - origin) / voxel_size).astype(np.int32)
     coords = np.concatenate([batch.reshape(-1, 1).astype(np.int32), grid], axis=1)
     ucoords, inverse = unique_coords(coords)
     m = len(ucoords)

@@ -99,12 +99,22 @@ def scatter_mean(src, index, dim=-1, out=None, dim_size=None):
     return res / counts.clamp(min=1).reshape((-1,) + (1,) * (src.dim() - 1))
 
 
+def scatter_add(src, index, dim=-1, out=None, dim_size=None):
+    assert out is None
+    assert dim in (0, -src.dim()), "shim supports dim=0 only"
+    n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+    res = torch.zeros((n,) + tuple(src.shape[1:]), dtype=src.dtype)
+    res.index_add_(0, index, src)
+    return res
+
+
 def _torch_scatter_module() -> types.ModuleType:
     mod = types.ModuleType("torch_scatter")
     mod.segment_csr = segment_csr
     mod.scatter_max = scatter_max
     mod.scatter_min = scatter_min
     mod.scatter_mean = scatter_mean
+    mod.scatter_add = scatter_add
     return mod
 
 
@@ -302,3 +312,78 @@ def load_reference_function(relpath: str, func_name: str, extra_globals=None):
     ns.update(extra_globals or {})
     exec(compile(ast.Module(body=nodes, type_ignores=[]), path, "exec"), ns)
     return ns[func_name]
+
+
+def load_reference_grid_transform():
+    """The reference's grid_transform module (GridSampling3D + group_data),
+    with faithful minimal shims for the torch_geometric/torch_cluster
+    clustering primitives (grid_cluster on unit-size rounded coords ==
+    group-identical-rows; consecutive_cluster == unique inverse + first
+    occurrence)."""
+    if "ref_grid_transform" in sys.modules:
+        return sys.modules["ref_grid_transform"]
+
+    def grid_cluster(coords, size):
+        return torch.unique(coords, dim=0, return_inverse=True)[1]
+
+    def voxel_grid(coords, batch, size):
+        both = torch.cat([batch.view(-1, 1).to(coords.dtype), coords], dim=1)
+        return torch.unique(both, dim=0, return_inverse=True)[1]
+
+    def consecutive_cluster(src):
+        unique, inv = torch.unique(src, sorted=True, return_inverse=True)
+        perm = torch.arange(inv.size(0))
+        first = torch.full((unique.numel(),), -1, dtype=torch.long)
+        # first occurrence per cluster (scatter keeps last write; reverse)
+        first[inv.flip(0)] = perm.flip(0)
+        return inv, first
+
+    class Data(dict):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.__dict__ = self
+
+        @property
+        def num_nodes(self):
+            return self["pos"].shape[0]
+
+        @property
+        def keys(self):
+            return list(super().keys())
+
+        def __iter__(self):
+            return iter(list(super().items()))
+
+    tg = types.ModuleType("torch_geometric")
+    tg_nn = types.ModuleType("torch_geometric.nn")
+    tg_nn.voxel_grid = voxel_grid
+    tg_pool = types.ModuleType("torch_geometric.nn.pool")
+    tg_cons = types.ModuleType("torch_geometric.nn.pool.consecutive")
+    tg_cons.consecutive_cluster = consecutive_cluster
+    tg_data = types.ModuleType("torch_geometric.data")
+    tg_data.Data = Data
+    tc = types.ModuleType("torch_cluster")
+    tc.grid_cluster = grid_cluster
+    for name, mod in [("torch_geometric", tg), ("torch_geometric.nn", tg_nn),
+                      ("torch_geometric.nn.pool", tg_pool),
+                      ("torch_geometric.nn.pool.consecutive", tg_cons),
+                      ("torch_geometric.data", tg_data),
+                      ("torch_cluster", tc)]:
+        sys.modules.setdefault(name, mod)
+        # earlier loaders may have registered a stub package with the same
+        # dotted name but without our attributes — fill them in
+        for attr in vars(mod):
+            if not attr.startswith("_"):
+                setattr(sys.modules[name], attr, getattr(mod, attr))
+    for p in ("torch_points3d", "torch_points3d.utils",
+              "torch_points3d.core", "torch_points3d.core.data_transform"):
+        _stub_package(p)
+    load_reference_module(
+        "torch_points3d/utils/multimodal.py", "torch_points3d.utils.multimodal"
+    )
+    mod = load_reference_module(
+        "torch_points3d/core/data_transform/grid_transform.py",
+        "ref_grid_transform",
+    )
+    mod.Data = Data
+    return mod
