@@ -54,6 +54,10 @@ _BACKBONES = {
     (2, 3, 4, 6): "Res16UNet34",
 }
 
+# tower key suffix -> output channels (image_encoders.OUT_CHANNELS order)
+_TOWER_CHANNELS = {"l0": 64, "l1": 64, "l2": 128, "l3": 256, "l4": 512,
+                   "ppm": 128, "pyramid": 128}
+
 
 def resolve_constant(val, constants: Dict, feat: Optional[int] = None):
     """Evaluate a ``define_constants`` expression — the role of
@@ -90,67 +94,186 @@ def load_model_entry(path: str, name: str) -> Dict:
     return doc[name]
 
 
+# view-pool module name -> this repo's pool key.  AttentiveBimodalCSRPool
+# appears in 13 YAML entries but no such class exists in the live reference
+# code (pooling.py only defines QKVBimodalCSRPool, whose docstring still
+# carries the old Attentive name; the reference's getattr-based factory
+# would resolve it to None) — we map it to its renamed successor.
+_POOL_NAMES = {
+    "GroupBimodalCSRPool": "group",
+    "QKVBimodalCSRPool": "qkv",
+    "AttentiveBimodalCSRPool": "qkv",
+    "HeuristicBimodalCSRPool": "heuristic",
+}
+
+
+def _n_stages(conv: Dict) -> int:
+    nn_ = conv.get("down_conv_nn", conv.get("up_conv_nn"))
+    return len(nn_) if isinstance(nn_, list) else 1
+
+
+def _stage_strides(conv: Dict, constants: Optional[Dict] = None) -> List[int]:
+    n = _n_stages(conv)
+    sv = conv.get("stride", [1] + [2] * (n - 1))
+    return [int(resolve_constant(s, constants or {}) or 2)
+            for s in _as_list(sv, n)]
+
+
+def _extract_backbone_plan(down: Dict, up: Dict, constants: Dict,
+                           in_channels: int):
+    """Generic down_conv/up_conv DSL -> (layers, planes) for Res16UNet.
+
+    Stages group into UNet levels at each stride-2 boundary (the 21-15
+    family writes each level as a stride-2 conv stage followed by a
+    stride-1 residual stage); stride-1 stages before the first downsample
+    are the stem.  Decoder levels likewise; trailing stride-1 up stages
+    fold their blocks into the last level.
+    """
+    N = [int(n) for n in _as_list(down["N"], _n_stages(down))]
+    strides = _stage_strides(down, constants)
+    outs = [resolve_constant(nn_[1], constants, in_channels)
+            for nn_ in down["down_conv_nn"]]
+    enc_blocks: List[int] = []
+    enc_planes: List[int] = []
+    for n, s, o in zip(N, strides, outs):
+        if s == 2:
+            enc_blocks.append(n)
+            enc_planes.append(int(o))
+        elif enc_blocks:
+            enc_blocks[-1] += n
+            enc_planes[-1] = int(o)
+    if not up:
+        return tuple(enc_blocks), tuple(enc_planes)
+    N_up = [int(n) for n in _as_list(up["N"], _n_stages(up))]
+    s_up = _stage_strides(up, constants)
+    outs_up = [resolve_constant(nn_[-1], constants, in_channels)
+               for nn_ in up["up_conv_nn"]]
+    dec_blocks: List[int] = []
+    dec_planes: List[int] = []
+    for n, s, o in zip(N_up, s_up, outs_up):
+        if s == 2 or not dec_blocks:
+            dec_blocks.append(n)
+            dec_planes.append(int(o))
+        else:
+            dec_blocks[-1] += n
+            dec_planes[-1] = int(o)
+    return (tuple(enc_blocks + dec_blocks),
+            tuple(enc_planes + dec_planes))
+
+
 def load_model_spec(path: str, name: str, num_classes: int,
                     in_channels: int = 4) -> ModelSpec:
     """One published model entry -> ModelSpec.
 
-    Covers the multimodal sparseconv3d families (early/pyramid truncation
-    branches over a Res16UNet) and the no3d families (2D-tower-only).
+    Covers ALL multimodal sparseconv3d families — early/pyramid truncation
+    branches and the Res16Image shared-trunk families (one progressive 2D
+    encoder tapped at successive 3D levels), over named Res16UNet presets
+    or inline custom backbone plans — plus the no3d families
+    (tests/test_reference_ingest.py loops over every published entry).
     """
     entry = load_model_entry(path, name)
     cls = entry.get("class", "")
     if cls.startswith("no3d."):
         return _no3d_spec(entry, num_classes, in_channels)
+    family = ("late_feature" if "LateFeatureFusion" in cls else
+              "late_logit" if "LateLogitFusion" in cls else "unet")
+    if "backbone_3d" in entry:
+        return _late_spec(entry, num_classes, in_channels, family)
     bb = entry.get("backbone", entry)
     constants = dict(bb.get("define_constants", {}))
     down = bb["down_conv"]
     up = bb.get("up_conv", {})
 
-    # infer the Res16UNet preset from the residual-block counts
+    # infer the Res16UNet preset from the residual-block counts; fall back
+    # to an inline custom plan for out-of-table stage layouts (21-15 family)
     enc_n = tuple(int(x) for x in down.get("N", [])[1:])
-    backbone = _BACKBONES.get(enc_n, "Res16UNet34")
+    backbone = _BACKBONES.get(enc_n)
+    layers = planes = None
+    if backbone is None:
+        layers, planes = _extract_backbone_plan(down, up, constants,
+                                                in_channels)
+        backbone = "Res16UNet34"   # display name; plan overrides it
     stem_kernel = int(_as_list(down.get("kernel_size", [3]), 1)[0])
+    strides3d = _stage_strides(down, constants)
+    n_early = int(down.get("n_early_conv", 1))
+
+    def level_of(bidx: int) -> int:
+        # branch attaches at the INPUT of down module `bidx` (flagship:
+        # down_conv_nn[0] is ['FEAT + out_feat_img', ...]); its 3D level is
+        # the number of downsamples strictly before that module.  Indices
+        # below n_early_conv are all pre-stem (the builder injects that many
+        # Identity early convs, unet.py:448-473) -> level 0.
+        bidx = int(bidx)
+        if bidx < n_early:
+            return 0
+        return sum(1 for s in strides3d[:bidx] if s == 2)
 
     img = down.get("image")
     branches: List[Tuple[int, BranchSpec]] = []
+    shared_tower = None
     if img is not None:
-        towers = _as_list(img["down_conv"]["module_name"], 1)
+        idc = img["down_conv"]
+        mod = idc["module_name"]
+        bidx_raw = img.get("branching_index", 0)
+        bidx = bidx_raw if isinstance(bidx_raw, list) else [bidx_raw]
+        if mod == "ResNetDown" or (isinstance(mod, str) and len(bidx) > 1):
+            # shared progressive trunk (Res16Image families): stage-i tap
+            # feeds branching position i; a single-branch ResNetDown (the
+            # ResImage3 'light' encoders) taps the trunk's final stage
+            ns = _n_stages(idc)
+            widths = [int(resolve_constant(p[1], constants, in_channels))
+                      for p in idc["down_conv_nn"]]
+            if any(w < 0 for w in widths):
+                # [-1, -1] passthrough encoder: raw-pixel gather/pool
+                towers = ["ModalityIdentity"] * len(bidx)
+            else:
+                blocks = [int(n) for n in _as_list(idc.get("N", 0), ns)]
+                s2d = _stage_strides(idc, constants)
+                shared_tower = (tuple(widths), tuple(blocks), tuple(s2d))
+                towers = ([f"shared:{i}" for i in range(len(bidx))]
+                          if len(bidx) > 1 else [f"shared:{ns - 1}"])
+        else:
+            towers = _as_list(mod, len(bidx))
         n = len(towers)
-        bidx = _as_list(img.get("branching_index", 0), n)
-        n_early = int(down.get("n_early_conv", 1))
         vp = img.get("view_pooling", {})
         ap = img.get("atomic_pooling", {})
         fu = img.get("fusion", {})
         in_mod = _as_list(vp.get("in_mod"), n)
         out_mod = _as_list(vp.get("out_mod", vp.get("in_mod")), n)
         groups = _as_list(vp.get("num_groups", 1), n)
-        pool_name = vp.get("module_name", "BimodalCSRPool")
-        view_pool = {
-            "GroupBimodalCSRPool": "group",
-            "QKVBimodalCSRPool": "qkv",
-            "HeuristicBimodalCSRPool": "heuristic",
-        }.get(pool_name, vp.get("mode", "max"))
-        fusion = {"concatenation": "concat"}.get(
-            fu.get("mode", "residual"), fu.get("mode", "residual"))
+        pools = [_POOL_NAMES.get(p, vp.get("mode", "max"))
+                 for p in _as_list(vp.get("module_name", "BimodalCSRPool"),
+                                   n)]
+        fusions = [{"concatenation": "concat"}.get(m, m)
+                   for m in _as_list(fu.get("mode", "residual"), n)]
         for i in range(n):
-            tower, deep = _tower_of(towers[i])
-            # early positions (indices < n_early_conv) all sit pre-stem at
-            # UNet level 0; later indices attach after down stage k
-            level = max(0, int(bidx[i]) - (n_early - 1)) if n_early > 1 \
-                else int(bidx[i])
-            out_c = resolve_constant(out_mod[i], constants, in_channels)
-            if out_c is None:
-                out_c = resolve_constant(in_mod[i], constants, in_channels)
-            branches.append((level, BranchSpec(
+            if str(towers[i]).startswith("shared:"):
+                tower, deep = towers[i], False
+                out_c = shared_tower[0][int(str(towers[i])[7:])]
+            elif towers[i] == "ModalityIdentity":
+                tower, deep = None, False     # raw-RGB gather/pool
+                out_c = 3
+            else:
+                tower, deep = _tower_of(towers[i])
+                out_c = resolve_constant(out_mod[i], constants, in_channels)
+                if out_c is None:
+                    out_c = resolve_constant(in_mod[i], constants,
+                                             in_channels)
+                if out_c is None:
+                    # plain (un-learned) pools emit the tower's channels
+                    out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
+                    if deep and tower == "resnet18_l0":
+                        out_c = 128        # deep stem widens layer0
+            branches.append((level_of(bidx[i]), BranchSpec(
                 tower=tower,
                 out_channels=int(out_c),
                 atomic_reduce=ap.get("mode", "max"),
-                view_pool=view_pool,
+                view_pool=pools[i],
                 num_groups=int(resolve_constant(groups[i], constants) or 1),
                 use_mod=bool(vp.get("use_mod", False)),
                 gated=bool(vp.get("gating", True)),
                 interpolate=bool(img.get("interpolate", False)),
-                fusion_mode=fusion,
+                fusion_mode=fusions[i],
                 tower_deep_stem=deep,
             )))
     return ModelSpec(
@@ -159,6 +282,79 @@ def load_model_spec(path: str, name: str, num_classes: int,
         backbone=backbone,
         branches=tuple(branches),
         stem_kernel=stem_kernel,
+        family=family,
+        backbone_layers=layers,
+        backbone_planes=planes,
+        shared_tower=shared_tower,
+    )
+
+
+def _late_spec(entry: Dict, num_classes: int, in_channels: int,
+               family: str) -> ModelSpec:
+    """LateFeatureFusion / LateLogitFusion entries: separate ``backbone_3d``
+    (a full 3D UNet) and ``backbone_no3d`` (an image UNet pooled to points),
+    fused at features or logits (models/segmentation/multimodal/
+    sparseconv3d.py LateFeatureFusion/LateLogitFusion)."""
+    b3 = entry["backbone_3d"]
+    c3 = dict(b3.get("define_constants", {}))
+    down, up = b3["down_conv"], b3.get("up_conv", {})
+    enc_n = tuple(int(x) for x in _as_list(down.get("N", []),
+                                           _n_stages(down))[1:])
+    backbone = _BACKBONES.get(enc_n)
+    layers = planes = None
+    if backbone is None:
+        layers, planes = _extract_backbone_plan(down, up, c3, in_channels)
+        backbone = "Res16UNet34"
+
+    bn = entry["backbone_no3d"]
+    cn = dict(bn.get("define_constants", {}))
+    img = bn["down_conv"]["image"]
+    vp = img.get("view_pooling", {})
+    ap = img.get("atomic_pooling", {})
+    idc = img["down_conv"]
+    mods = idc.get("module_name", "ResNetDown")
+    mods = mods if isinstance(mods, list) else [mods]
+    n = len(mods)
+    pools = [_POOL_NAMES.get(p, vp.get("mode", "max"))
+             for p in _as_list(vp.get("module_name", "BimodalCSRPool"), n)]
+    out_mod = _as_list(vp.get("out_mod", vp.get("in_mod")), n)
+    groups = _as_list(vp.get("num_groups", 1), n)
+
+    branches: List[Tuple[int, BranchSpec]] = []
+    for i in range(n):
+        deep = False
+        if mods[i] == "ResNetDown" and "up_conv" in img:
+            tower = "unet2d_light"      # full image UNet -> light 2D UNet
+            out_c = resolve_constant(
+                img.get("last_conv", {}).get(
+                    "input_nc", img["up_conv"]["up_conv_nn"][-1][-1]),
+                cn) or 32
+        elif mods[i] == "ResNetDown" and "down_conv_nn" in idc:
+            tower = "unet2d_32"
+            out_c = resolve_constant(idc["down_conv_nn"][-1][-1], cn)
+        else:                 # truncation-tower class names (XYZ-RGB-*-late,
+            tower, deep = _tower_of(mods[i])       # PointPyramid-late)
+            out_c = resolve_constant(out_mod[i], cn)
+            if not isinstance(out_c, (int, float)):
+                out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
+        branches.append((0, BranchSpec(
+            tower=tower,
+            out_channels=int(out_c or 32),
+            atomic_reduce=ap.get("mode", "max"),
+            view_pool=pools[i],
+            num_groups=int(resolve_constant(groups[i], cn) or 1),
+            gated=bool(vp.get("gating", True)),
+            interpolate=bool(img.get("interpolate", True)),
+            tower_deep_stem=deep,
+        )))
+    return ModelSpec(
+        num_classes=num_classes,
+        in_channels=in_channels,
+        backbone=backbone,
+        family=family,
+        branches=tuple(branches),
+        backbone_layers=layers,
+        backbone_planes=planes,
     )
 
 
@@ -167,35 +363,39 @@ def _no3d_spec(entry: Dict, num_classes: int, in_channels: int) -> ModelSpec:
     constants = dict(entry.get("define_constants", {}))
     ap = img.get("atomic_pooling", {})
     vp = img.get("view_pooling", {})
-    pool_name = vp.get("module_name", "BimodalCSRPool")
-    view_pool = {
-        "GroupBimodalCSRPool": "group",
-        "QKVBimodalCSRPool": "qkv",
-    }.get(pool_name, vp.get("mode", "mean"))
-    tower_mod = img["down_conv"].get("module_name", "ResNetDown")
-    if tower_mod == "ResNetDown" and "up_conv" in img:
-        tower, deep = "unet2d_light", False    # the light 2D UNet family
-        out_c = resolve_constant(
-            img.get("last_conv", {}).get("input_nc", 32), constants)
-    else:
-        tower, deep = _tower_of(tower_mod)
-        out_c = resolve_constant(vp.get("out_mod", vp.get("in_mod", 64)),
-                                 constants)
+    mods = img["down_conv"].get("module_name", "ResNetDown")
+    mods = mods if isinstance(mods, list) else [mods]
+    n = len(mods)
+    pools = [_POOL_NAMES.get(p, vp.get("mode", "mean"))
+             for p in _as_list(vp.get("module_name", "BimodalCSRPool"), n)]
+    out_mod = _as_list(vp.get("out_mod", vp.get("in_mod", 64)), n)
+    branches: List[Tuple[int, BranchSpec]] = []
+    for i in range(n):
+        if mods[i] == "ResNetDown" and "up_conv" in img:
+            tower, deep = "unet2d_light", False   # the light 2D UNet family
+            out_c = resolve_constant(
+                img.get("last_conv", {}).get("input_nc", 32), constants)
+        else:
+            tower, deep = _tower_of(mods[i])
+            out_c = resolve_constant(out_mod[i], constants)
+            if not isinstance(out_c, (int, float)):
+                out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
+        branches.append((0, BranchSpec(
+            tower=tower,
+            out_channels=int(out_c or 32),
+            atomic_reduce=ap.get("mode", "max"),
+            view_pool=pools[i],
+            num_groups=int(resolve_constant(
+                _as_list(vp.get("num_groups", 1), n)[i], constants) or 1),
+            gated=bool(vp.get("gating", True)),
+            interpolate=bool(img.get("interpolate", True)),
+            tower_deep_stem=deep,
+        )))
     return ModelSpec(
         num_classes=num_classes,
         in_channels=in_channels,
         family="no3d",
-        branches=((0, BranchSpec(
-            tower=tower,
-            out_channels=int(out_c or 32),
-            atomic_reduce=ap.get("mode", "max"),
-            view_pool=view_pool,
-            num_groups=int(resolve_constant(vp.get("num_groups", 1),
-                                            constants) or 1),
-            gated=bool(vp.get("gating", True)),
-            interpolate=bool(img.get("interpolate", True)),
-            tower_deep_stem=deep,
-        )),),
+        branches=tuple(branches),
     )
 
 

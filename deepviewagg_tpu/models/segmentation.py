@@ -86,6 +86,19 @@ class ModelSpec:
     # always uses 3 (multimodal/sparseconv3d.yaml:6622) -- kernel 5 is only
     # the MinkowskiEngine class default, never a DeepViewAgg MM config
     stem_kernel: int = 3
+    # custom backbone plan overriding the named preset — the reference's
+    # down_conv/up_conv DSL carries inline per-stage block counts and
+    # channel widths (e.g. the Res16UNet21-15 family); when set, the UNet
+    # builds from these instead of RES16_PRESETS[backbone]
+    backbone_layers: Optional[Tuple[int, ...]] = None
+    backbone_planes: Optional[Tuple[int, ...]] = None
+    backbone_block: str = "basic"
+    # shared progressive image trunk (ref Res16Image families: ONE ResNetDown
+    # encoder advanced stage-by-stage, its stage-i tap fused at 3D level i —
+    # image.down_conv + branching_index [1..n]); (widths, blocks, strides)
+    # per stage; branches reference taps as tower="shared:<stage>"
+    shared_tower: Optional[Tuple[Tuple[int, ...], Tuple[int, ...],
+                                 Tuple[int, ...]]] = None
 
     def branch_levels(self):
         """level -> [BranchSpec, ...]; several branches may share a level
@@ -103,6 +116,11 @@ def make_tower(name: str, norm: str = "group", deep_stem: bool = False):
     reference's encoder naming (truncation level / PPM variants,
     modalities/image.py).  The factory is passed to ``UnimodalBranch`` so the
     tower binds inside the branch's parameter scope."""
+    if name is None:
+        # tower-less branch: gather/pool raw image channels (the reference's
+        # no-encoder debug path); channel count comes from the images at
+        # call time, 3 for RGB
+        return None, 3
     if name == "resnet18_ppm":
         fac = functools.partial(towers.ResNet18PPM, out_channels=128,
                                 norm=norm, deep_stem=deep_stem, name="tower")
@@ -171,12 +189,38 @@ class MultimodalSeg(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = True):
-        layers, planes, block = RES16_PRESETS[self.spec.backbone]
+        if self.spec.backbone_layers is not None:
+            layers = tuple(self.spec.backbone_layers)
+            planes = tuple(self.spec.backbone_planes)
+            block = self.spec.backbone_block
+        else:
+            layers, planes, block = RES16_PRESETS[self.spec.backbone]
         n_down = len(layers) // 2
         branch_at = self.spec.branch_levels()
         images = batch.get("images")   # absent on crop-ladder batches
         ref_size = (images.shape[1], images.shape[2]) if images is not None \
             else None
+
+        # shared progressive trunk (Res16Image families): ONE encoder runs
+        # once; its stage-i tap is gathered/pooled at the level whose branch
+        # says tower="shared:i" (ref image.down_conv + branching_index)
+        taps = None
+        if self.spec.shared_tower is not None and images is None:
+            raise ValueError(
+                "shared_tower needs a flat image batch; crop-ladder "
+                "(bucketed) collate is not supported with shared trunks")
+        if self.spec.shared_tower is not None and images is not None:
+            from ..modules.image_encoders import ConvDown2D, run_tower
+
+            widths, blocks_, strides = self.spec.shared_tower
+            sb = next(b for _, b in self.spec.branches
+                      if str(b.tower).startswith("shared:"))
+            taps = run_tower(
+                ConvDown2D(widths=tuple(widths), blocks=tuple(blocks_),
+                           strides=tuple(strides), name="shared_tower"),
+                images, train, remat=sb.remat_tower, frozen=sb.frozen,
+                bf16=sb.tower_bf16,
+            )
 
         x_seen_all = None
 
@@ -186,8 +230,16 @@ class MultimodalSeg(nn.Module):
                 # first branch keeps the legacy scope name so single-branch
                 # checkpoints stay loadable
                 name = f"branch_l{level}" if k == 0 else f"branch_l{level}_{k}"
-                tower, c2 = make_tower(spec.tower, spec.tower_norm,
-                                       spec.tower_deep_stem)
+                images_in = images
+                if str(spec.tower).startswith("shared:"):
+                    # tap consumed as a raw feature image (tower=None);
+                    # UnimodalBranch rescales pixel coords from ref_size to
+                    # the tap's stride automatically
+                    tower, c2 = None, taps[int(spec.tower[7:])].shape[-1]
+                    images_in = taps[int(spec.tower[7:])]
+                else:
+                    tower, c2 = make_tower(spec.tower, spec.tower_norm,
+                                           spec.tower_deep_stem)
                 mm = batch["mappings"][level]
                 if "buckets" in mm:
                     # crop-group families (Bucket.image_ladder collate path)
@@ -227,8 +279,10 @@ class MultimodalSeg(nn.Module):
                         tower_bf16=spec.tower_bf16,
                         name=name,
                     )
+                    # a shared-trunk tap is already a feature map — the
+                    # branch must not re-cast it through the bf16 policy
                     x, seen, _ = branch(
-                        x, images, mm, ref_size, train=train
+                        x, images_in, mm, ref_size, train=train
                     )
                 if seen is not None:
                     seen_all = seen if seen_all is None else (seen_all | seen)

@@ -148,6 +148,7 @@ def run_tower(tower, images, train: bool, *, remat: bool = False,
         return tower(im, t_train)
 
     axis = _VIEW_SHARD_AXIS[-1]
+    tmap = jax.tree_util.tree_map      # towers may return a tap TUPLE
     if axis is None:
         y = apply(images)
     else:
@@ -160,9 +161,10 @@ def run_tower(tower, images, train: bool, *, remat: bool = False,
             images = jnp.concatenate([images, pad], axis=0)
         k = jax.lax.axis_index(axis)
         local = jax.lax.dynamic_slice_in_dim(images, k * blk, blk, axis=0)
-        y = jax.lax.all_gather(apply(local), axis, axis=0, tiled=True)
-        y = y[:n_img]
-    y = y.astype(jnp.float32)
+        y = tmap(
+            lambda t: jax.lax.all_gather(t, axis, axis=0, tiled=True)[:n_img],
+            apply(local))
+    y = tmap(lambda t: t.astype(jnp.float32), y)
     if frozen:
         y = jax.lax.stop_gradient(y)
     return y
@@ -400,3 +402,34 @@ class UNet2D(nn.Module):
         x = Conv2dWS(self.out_channels, (3, 3), standardize=ws)(x)
         x = _Norm(self.norm)(x, train)
         return nn.relu(x)
+
+
+class ConvDown2D(nn.Module):
+    """Configurable GN+WS conv-ResBlock trunk with per-stage taps — the
+    reference's generic ``ResNetDown`` image encoder as configured by the
+    Res16Image families (sparseconv3d.yaml ``image.down_conv``: per-stage
+    out widths / residual-block counts / strides, GroupNorm + weight
+    standardization).  Returns the TUPLE of per-stage feature maps so a
+    shared trunk can feed gather/pool taps at successive 3D levels
+    (branching_index 1..n in the reference DSL)."""
+
+    widths: Sequence[int] = (32, 32, 64, 128, 256)
+    blocks: Sequence[int] = (0, 2, 2, 2, 2)
+    strides: Sequence[int] = (1, 2, 2, 2, 2)
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ws = self.norm == "group"
+        taps = []
+        for i, (w, n, s) in enumerate(zip(self.widths, self.blocks,
+                                          self.strides)):
+            x = Conv2dWS(w, (3, 3), (s, s), standardize=ws,
+                         name=f"stage{i}_conv")(x)
+            x = _Norm(self.norm, name=f"stage{i}_norm")(x, train)
+            x = nn.relu(x)
+            for b in range(n):
+                x = _BasicBlock2d(w, norm=self.norm,
+                                  name=f"stage{i}_block{b}")(x, train)
+            taps.append(x)
+        return tuple(taps)

@@ -86,3 +86,79 @@ def test_s3dis_data_cfg_fields():
     assert d["image_size"] == [1024, 512]     # resolution_2d
     assert d["samples_per_epoch"] == 3000
     assert d["image_slots"] == 4              # train_pixel_credit
+
+
+def test_every_published_model_entry_resolves():
+    """ALL 141 published multimodal model entries (110 sparseconv3d + 31
+    no3d) resolve to a ModelSpec: backbone (named preset or inline custom
+    plan), branch levels, pool modes, fusion modes, channel widths."""
+    import yaml
+
+    from deepviewagg_tpu.models.segmentation import ModelSpec
+
+    total = 0
+    families = set()
+    for path, ncls in ((SPARSE, 13), (NO3D, 13)):
+        doc = yaml.safe_load(open(path))
+        for name in doc:
+            if name == "defaults":
+                continue
+            spec = load_model_spec(path, name, num_classes=ncls,
+                                   in_channels=4)
+            assert isinstance(spec, ModelSpec)
+            families.add(spec.family)
+            if spec.family != "no3d" or spec.branches:
+                pass
+            for lvl, b in spec.branches:
+                assert 0 <= lvl <= 5
+                assert b.out_channels > 0
+                assert b.view_pool in ("max", "mean", "min", "sum", "group",
+                                       "qkv", "heuristic")
+            if spec.backbone_layers is not None:
+                assert len(spec.backbone_layers) == len(spec.backbone_planes)
+                assert len(spec.backbone_layers) % 2 == 0
+            total += 1
+    assert total == 141
+    assert families == {"unet", "no3d", "late_feature", "late_logit"}
+
+
+def test_shared_trunk_2115_family_builds_and_runs():
+    """The Res16Image shared-trunk family: ingests to a custom backbone
+    plan + shared progressive 2D trunk with taps at levels 0..2, builds,
+    and runs forward on a synthetic batch (ref entry
+    Res16UNet21-15_Res16Image21_encoder_max)."""
+    import jax
+    import numpy as np
+
+    from deepviewagg_tpu.data.toy import toy_batch
+    from deepviewagg_tpu.models.segmentation import MultimodalSeg
+
+    spec = load_model_spec(SPARSE, "Res16UNet21-15_Res16Image21_encoder_max",
+                           num_classes=13, in_channels=4)
+    assert spec.shared_tower is not None
+    assert spec.backbone_layers is not None
+    widths, blocks, strides = spec.shared_tower
+    assert widths == (32, 32, 64, 128, 256)
+    levels = [lvl for lvl, b in spec.branches]
+    towers = [b.tower for _, b in spec.branches]
+    assert towers == [f"shared:{i}" for i in range(5)]
+    assert levels == sorted(levels) and levels[0] == 0
+
+    batch, _, _ = toy_batch(n_samples=1, density=25.0, image_size=(64, 32),
+                            n_cameras=1, headroom=1.3,
+                            branch_levels=tuple(sorted(set(levels))))
+    batch = {k: v for k, v in batch.items() if k != "meta"}
+    model = MultimodalSeg(spec)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
+    # one shared trunk in the param tree, no per-branch towers
+    assert "shared_tower" in variables["params"]
+    for key in variables["params"]:
+        if key.startswith("branch"):
+            assert "tower" not in variables["params"][key]
+    out = model.apply(variables, batch, train=False)
+    n = batch["graph"]["levels"][0]["valid"].sum()
+    logits = np.asarray(out["logits"])
+    assert logits.shape[-1] == 13
+    assert np.isfinite(logits[:n]).all()
+    assert np.asarray(out["x_seen"]).any()
