@@ -214,7 +214,30 @@ def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
                    overrides: Optional[dict] = None) -> ModelSpec:
     """Resolve a model name (published table or grammar) to a ModelSpec —
     the role of ``instantiate_model`` + ``resolve_model``
-    (models/model_factory.py:8-46)."""
+    (models/model_factory.py:8-46).
+
+    ``ref:<file>/<entry>`` ingests a published reference YAML entry
+    directly (``ref:sparseconv3d/Res16UNet21-15_Res16Image21_encoder_max``
+    — any of the 141 entries; config/reference_ingest.py), so the CLI can
+    train a reference config verbatim.  Field ``overrides`` do not apply
+    to ingested specs (they describe zoo-grammar entries)."""
+    if name.startswith("ref:"):
+        import dataclasses as _dc
+        import os
+
+        from .reference_ingest import load_model_spec
+
+        fname, entry_name = name[4:].split("/", 1)
+        path = os.environ.get(
+            "DVA_REFERENCE_CONF",
+            "/root/reference/conf/models/segmentation/multimodal")
+        spec = load_model_spec(f"{path}/{fname}.yaml", entry_name,
+                               num_classes, in_channels)
+        if overrides:
+            known = {f.name for f in _dc.fields(spec)}
+            spec = _dc.replace(
+                spec, **{k: v for k, v in overrides.items() if k in known})
+        return spec
     entry = MODEL_ZOO.get(name) or parse_model_name(name)
     if entry is None:
         # any Res16UNet preset name is a valid bare 3D-only backbone

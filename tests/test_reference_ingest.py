@@ -162,3 +162,14 @@ def test_shared_trunk_2115_family_builds_and_runs():
     assert logits.shape[-1] == 13
     assert np.isfinite(logits[:n]).all()
     assert np.asarray(out["x_seen"]).any()
+
+
+def test_ref_name_resolves_through_zoo():
+    """`model.name=ref:<file>/<entry>` trains published configs verbatim
+    from the CLI: get_model_spec ingests the YAML entry directly."""
+    spec = get_model_spec(
+        "ref:sparseconv3d/Res16UNet21-15_Res16Image21_encoder_max", 13)
+    assert spec.shared_tower is not None and len(spec.branches) == 5
+    direct = load_model_spec(
+        SPARSE, "Res16UNet21-15_Res16Image21_encoder_max", 13, 4)
+    assert spec == direct
