@@ -164,9 +164,13 @@ class SparseConv3dSeg(nn.Module):
     def __call__(self, batch: Dict[str, Any], train: bool = True):
         from ..nn.res16unet import Res16UNet
 
-        x = Res16UNet.preset(self.spec.backbone, name="backbone")(
-            batch["feats"], batch["graph"], train=train
-        )
+        if self.spec.backbone_layers is not None:
+            bb = Res16UNet(layers=tuple(self.spec.backbone_layers),
+                           planes=tuple(self.spec.backbone_planes),
+                           block=self.spec.backbone_block, name="backbone")
+        else:
+            bb = Res16UNet.preset(self.spec.backbone, name="backbone")
+        x = bb(batch["feats"], batch["graph"], train=train)
         if self.spec.head_dropout > 0:
             # rng presence (not the train flag) gates dropout so MC-dropout
             # eval voting works (base_model.py:480-487)
@@ -337,24 +341,35 @@ class No3DSeg(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = True):
-        (level, bspec), = self.spec.branches
-        tower, c2 = make_tower(bspec.tower, bspec.tower_norm,
-                               bspec.tower_deep_stem)
         images = batch["images"]
         ref_size = (images.shape[1], images.shape[2])
         num_points = batch["feats"].shape[0]
-        branch = UnimodalBranch(
-            tower=tower, out_channels=bspec.out_channels,
-            atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
-            num_groups=bspec.num_groups, gated=bspec.gated,
-            interpolate=bspec.interpolate, fusion_mode="modality",
-            keep_last_view=True, frozen=bspec.frozen,
-            tower_bf16=bspec.tower_bf16, name="branch",
-        )
-        pooled, x_seen, extras = branch(
-            None, images, batch["mappings"][level], ref_size, train=train,
-            num_points=num_points,
-        )
+        pooled_all, x_seen, extras = [], None, None
+        # several towers pooled side by side (the RGB_PointPyramid no3d
+        # entries: five truncations, pooled features CONCAT before the head)
+        for k, (level, bspec) in enumerate(self.spec.branches):
+            tower, c2 = make_tower(bspec.tower, bspec.tower_norm,
+                                   bspec.tower_deep_stem)
+            branch = UnimodalBranch(
+                tower=tower, out_channels=bspec.out_channels,
+                atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
+                num_groups=bspec.num_groups, gated=bspec.gated,
+                interpolate=bspec.interpolate, fusion_mode="modality",
+                keep_last_view=(k == 0), frozen=bspec.frozen,
+                tower_bf16=bspec.tower_bf16,
+                name="branch" if k == 0 else f"branch_{k}",
+            )
+            pooled_k, seen_k, ex_k = branch(
+                None, images, batch["mappings"][level], ref_size, train=train,
+                num_points=num_points,
+            )
+            pooled_all.append(pooled_k)
+            x_seen = seen_k if x_seen is None else (x_seen | seen_k)
+            if k == 0:
+                extras = ex_k
+        pooled = (pooled_all[0] if len(pooled_all) == 1
+                  else jnp.concatenate(pooled_all, axis=-1))
+        bspec = self.spec.branches[0][1]
         mlp1 = nn.Dense(bspec.out_channels, name="mlp1")
         head = nn.Dense(self.spec.num_classes, name="head")
         logits = head(nn.relu(mlp1(pooled)))
@@ -384,32 +399,47 @@ class LateFusionSeg(nn.Module):
     def __call__(self, batch: Dict[str, Any], train: bool = True):
         from ..nn.res16unet import Res16UNet
 
-        (level, bspec), = self.spec.branches
-        assert level == 0, "late fusion consumes level-0 mappings"
-        x3d = Res16UNet.preset(self.spec.backbone, name="backbone")(
-            batch["feats"], batch["graph"], train=train
-        )
-        tower, _ = make_tower(bspec.tower, bspec.tower_norm)
+        assert all(lvl == 0 for lvl, _ in self.spec.branches), \
+            "late fusion consumes level-0 mappings"
+        if self.spec.backbone_layers is not None:
+            bb = Res16UNet(layers=tuple(self.spec.backbone_layers),
+                           planes=tuple(self.spec.backbone_planes),
+                           block=self.spec.backbone_block, name="backbone")
+        else:
+            bb = Res16UNet.preset(self.spec.backbone, name="backbone")
+        x3d = bb(batch["feats"], batch["graph"], train=train)
         images = batch["images"]
-        branch = UnimodalBranch(
-            tower=tower, out_channels=bspec.out_channels,
-            atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
-            num_groups=bspec.num_groups, gated=bspec.gated,
-            interpolate=bspec.interpolate, fusion_mode="modality",
-            remat_tower=bspec.remat_tower, frozen=bspec.frozen,
-            tower_bf16=bspec.tower_bf16, name="branch",
-        )
-        x2d, x_seen, _ = branch(
-            None, images, batch["mappings"][0],
-            (images.shape[1], images.shape[2]), train=train,
-            num_points=x3d.shape[0],
-        )
+        x2d_all, x_seen = [], None
+        # multi-tower late entries (PointPyramid-late): each truncation
+        # pools independently; 'feature' mode concats, 'logit' mode sums
+        for k, (_, bspec) in enumerate(self.spec.branches):
+            tower, _ = make_tower(bspec.tower, bspec.tower_norm,
+                                  bspec.tower_deep_stem)
+            branch = UnimodalBranch(
+                tower=tower, out_channels=bspec.out_channels,
+                atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
+                num_groups=bspec.num_groups, gated=bspec.gated,
+                interpolate=bspec.interpolate, fusion_mode="modality",
+                remat_tower=bspec.remat_tower, frozen=bspec.frozen,
+                tower_bf16=bspec.tower_bf16,
+                name="branch" if k == 0 else f"branch_{k}",
+            )
+            x2d_k, seen_k, _ = branch(
+                None, images, batch["mappings"][0],
+                (images.shape[1], images.shape[2]), train=train,
+                num_points=x3d.shape[0],
+            )
+            x2d_all.append(x2d_k)
+            x_seen = seen_k if x_seen is None else (x_seen | seen_k)
         if self.mode == "logit":
             l3 = nn.Dense(self.spec.num_classes, name="head3d")(x3d)
-            l2 = nn.Dense(self.spec.num_classes, name="head2d")(x2d)
+            l2 = sum(
+                nn.Dense(self.spec.num_classes,
+                         name="head2d" if k == 0 else f"head2d_{k}")(x2d)
+                for k, x2d in enumerate(x2d_all))
             logits = l3 + jnp.where(x_seen[:, None], l2, 0.0)
         else:
-            h = jnp.concatenate([x3d, x2d], axis=-1)
+            h = jnp.concatenate([x3d] + x2d_all, axis=-1)
             h = nn.Dense(x3d.shape[-1], name="mix")(h)
             h = nn.relu(h)
             logits = nn.Dense(self.spec.num_classes, name="head")(h)

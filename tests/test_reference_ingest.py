@@ -173,3 +173,32 @@ def test_ref_name_resolves_through_zoo():
     direct = load_model_spec(
         SPARSE, "Res16UNet21-15_Res16Image21_encoder_max", 13, 4)
     assert spec == direct
+
+
+@pytest.mark.slow
+def test_multibranch_no3d_and_late_entries_build_and_run():
+    """The pyramid no3d entry (5 towers, pooled features concat) and a
+    PointPyramid-late entry (5 towers late-fused with the 3D UNet) build
+    from their published YAML entries and run forward."""
+    import jax
+    import numpy as np
+
+    from deepviewagg_tpu.data.toy import toy_batch
+    from deepviewagg_tpu.models.segmentation import build_model
+
+    batch, _, _ = toy_batch(n_samples=1, density=25.0, image_size=(64, 32),
+                            n_cameras=1, headroom=1.3)
+    batch = {k: v for k, v in batch.items() if k != "meta"}
+    n = int(np.asarray(batch["graph"]["levels"][0]["valid"]).sum())
+
+    for path, entry in ((NO3D, "RGB_PointPyramid-cityscapes-interpolate"),
+                        (SPARSE,
+                         "Res16UNet34-PointPyramid-late-cityscapes-interpolate")):
+        spec = load_model_spec(path, entry, num_classes=13, in_channels=4)
+        assert len(spec.branches) == 5
+        model = build_model(spec)
+        v = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch, train=False)
+        out = model.apply(v, batch, train=False)
+        logits = np.asarray(out["logits"])[:n]
+        assert logits.shape[-1] == 13 and np.isfinite(logits).all()
