@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # trains + restores a checkpoint; compile-heavy
+
 
 @pytest.fixture(scope="module")
 def tiny_run(tmp_path_factory):

@@ -2,8 +2,11 @@
 ref no3d.py:105-155)."""
 
 import numpy as np
+import pytest
 
 import jax
+
+pytestmark = pytest.mark.slow  # trains a no3d model; compile-heavy
 
 from deepviewagg_tpu.data.toy import toy_batch
 from deepviewagg_tpu.models.segmentation import ModelSpec, BranchSpec, build_model
