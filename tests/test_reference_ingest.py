@@ -202,3 +202,36 @@ def test_multibranch_no3d_and_late_entries_build_and_run():
         out = model.apply(v, batch, train=False)
         logits = np.asarray(out["logits"])[:n]
         assert logits.shape[-1] == 13 and np.isfinite(logits).all()
+
+
+@pytest.mark.parametrize("path,name,family,branches", [
+    # (level, tower, out_channels, pool, fusion, deep_stem) per branch
+    ("sparse", "XYZ-RGB-PPM-late", "late_feature",
+     [(0, "resnet18_ppm", 512, "group", "residual", True)]),
+    ("sparse", "XYZ-RGB-L4-late-QKV", "late_feature",
+     [(0, "resnet18_l4", 512, "qkv", "residual", True)]),
+    ("sparse", "Res16UNet21-15_ResImage3_light_2_mean_concatenation", "unet",
+     [(0, "shared:0", 32, "mean", "concat", False)]),
+    ("sparse", "Res16UNet21-15_Res16Image21_encoder_max_both", "unet",
+     [(0, "shared:0", 32, "max", "both", False),
+      (0, "shared:1", 32, "max", "both", False),
+      (1, "shared:2", 64, "max", "both", False),
+      (1, "shared:3", 128, "max", "both", False),
+      (2, "shared:4", 256, "max", "both", False)]),
+    ("no3d", "RGB_PointPyramid-cityscapes-interpolate", "no3d",
+     [(0, "resnet18_l0", 32, "group", "residual", True),
+      (0, "resnet18_l1", 32, "group", "residual", True),
+      (0, "resnet18_l2", 64, "group", "residual", True),
+      (0, "resnet18_l3", 128, "group", "residual", True),
+      (0, "resnet18_l4", 256, "group", "residual", True)]),
+])
+def test_representative_entries_resolve_correctly(path, name, family,
+                                                  branches):
+    """Table-driven spot fidelity: resolved specs carry the entry's exact
+    fusion levels, towers/taps, pool modes, fusion modes, and widths."""
+    spec = load_model_spec(SPARSE if path == "sparse" else NO3D, name,
+                           num_classes=13, in_channels=4)
+    assert spec.family == family
+    got = [(lvl, b.tower, b.out_channels, b.view_pool, b.fusion_mode,
+            b.tower_deep_stem) for lvl, b in spec.branches]
+    assert got == branches
