@@ -89,3 +89,45 @@ def test_multibucket_with_tower_and_crops(cloud):
     assert pooled.shape == (n, 16)
     assert np.isfinite(np.asarray(pooled)).all()
     np.testing.assert_array_equal(np.asarray(seen), m.points_seen())
+
+
+def test_multibucket_view_sharded_matches_unsharded(cloud):
+    """Crop-ladder towers under view parallelism: each bucket's tower runs
+    block-sharded over the model axis (image_encoders.view_shard_axis via
+    run_tower) and must reproduce the unsharded pooled features exactly
+    (f32 convs; per-image math is split-invariant)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from deepviewagg_tpu.modules.image_encoders import (ResNet18, f32_convs,
+                                                        view_shard_axis)
+    from deepviewagg_tpu.parallel.mesh import make_mesh
+
+    m = cloud["mapping"]
+    n = m.num_points
+    ladder = crop_ladder((128, 64), min_size=16)
+    out = assign_crop_groups(dict(cloud), ladder)
+    mm = split_mapping_by_bucket(out, ladder)
+    tower = functools.partial(ResNet18, out_level=1, name="tower")
+    mb = MultiBucketBranch(tower=tower, out_channels=16, view_pool="group",
+                           num_groups=2, fusion_mode="modality",
+                           tower_bf16=False)
+    variables = mb.init(jax.random.PRNGKey(0), None, mm, train=False,
+                        num_points=n)
+
+    with f32_convs():
+        ref = np.asarray(jax.jit(
+            lambda v: mb.apply(v, None, mm, train=False, num_points=n)[0]
+        )(variables))
+
+    mesh = make_mesh(jax.devices()[:2], axis="model")
+
+    def fwd(v):
+        with view_shard_axis("model"):
+            return mb.apply(v, None, mm, train=False, num_points=n)[0]
+
+    with f32_convs():
+        got = np.asarray(jax.jit(jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False,
+        ))(variables))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
