@@ -190,3 +190,45 @@ def test_view_shard_axis_forward_identical(setup):
             check_vma=False,
         ))(variables, batch)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_shared_trunk_taps_shard_identically():
+    """ConvDown2D trunks return a TUPLE of taps; run_tower's sharded path
+    all_gathers each leaf — sharded == unsharded per tap (f32)."""
+    from jax.sharding import PartitionSpec as P
+
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from deepviewagg_tpu.modules.image_encoders import (ConvDown2D, f32_convs,
+                                                        run_tower,
+                                                        view_shard_axis)
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, images, train=False):
+            trunk = ConvDown2D(widths=(8, 16), blocks=(1, 1), strides=(1, 2),
+                               name="trunk")
+            return run_tower(trunk, images, train, bf16=False)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((3, 32, 16, 3)).astype(np.float32))
+    m = Wrap()
+    v = m.init(jax.random.PRNGKey(0), images)
+    with f32_convs():
+        ref = jax.jit(lambda v: m.apply(v, images))(v)
+
+    mesh = make_mesh(jax.devices()[:2], axis="model")
+
+    def fwd(v):
+        with view_shard_axis("model"):
+            return m.apply(v, images)
+
+    with f32_convs():
+        got = jax.jit(jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False,
+        ))(v)
+    assert len(got) == len(ref) == 2
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
