@@ -175,6 +175,18 @@ def load_model_spec(path: str, name: str, num_classes: int,
     cls = entry.get("class", "")
     if cls.startswith("no3d."):
         return _no3d_spec(entry, num_classes, in_channels)
+    if cls.startswith("minkowski."):
+        # MinkowskiEngine baseline entries carry only a class name
+        # (minkowski_baseline.yaml); map MinkUNetXX[Y] onto the matching
+        # Res16UNet preset (same published plans, nn/res16unet.py table)
+        from ..nn.res16unet import RES16_PRESETS
+
+        mn = entry.get("model_name", name)
+        preset = mn if mn.startswith("Res16UNet") else "Res16UNet" + mn[8:]
+        if preset not in RES16_PRESETS:
+            raise KeyError(f"no preset for {entry.get('model_name', name)}")
+        return ModelSpec(num_classes=num_classes, in_channels=in_channels,
+                         backbone=preset, stem_kernel=5)
     family = ("late_feature" if "LateFeatureFusion" in cls else
               "late_logit" if "LateLogitFusion" in cls else "unet")
     if "backbone_3d" in entry:

@@ -228,11 +228,22 @@ def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
         from .reference_ingest import load_model_spec
 
         fname, entry_name = name[4:].split("/", 1)
-        path = os.environ.get(
-            "DVA_REFERENCE_CONF",
-            "/root/reference/conf/models/segmentation/multimodal")
-        spec = load_model_spec(f"{path}/{fname}.yaml", entry_name,
-                               num_classes, in_channels)
+        base = os.environ.get("DVA_REFERENCE_CONF",
+                              "/root/reference/conf/models/segmentation")
+        # the multimodal file is tried first; same-named pure-3D files hold
+        # the remaining entries (e.g. minkowski_baseline, 3D sparseconv3d)
+        spec = None
+        for path in (f"{base}/multimodal/{fname}.yaml",
+                     f"{base}/{fname}.yaml"):
+            if os.path.exists(path):
+                try:
+                    spec = load_model_spec(path, entry_name, num_classes,
+                                           in_channels)
+                    break
+                except KeyError:
+                    continue
+        if spec is None:
+            raise KeyError(f"entry '{entry_name}' not found for '{name}'")
         if overrides:
             known = {f.name for f in _dc.fields(spec)}
             spec = _dc.replace(

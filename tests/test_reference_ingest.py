@@ -235,3 +235,23 @@ def test_representative_entries_resolve_correctly(path, name, family,
     got = [(lvl, b.tower, b.out_channels, b.view_pool, b.fusion_mode,
             b.tower_deep_stem) for lvl, b in spec.branches]
     assert got == branches
+
+
+def test_minkowski_baseline_and_pure3d_entries_resolve():
+    """The pure-3D YAMLs ingest too: all 26 minkowski_baseline entries map
+    onto the Res16UNet preset table, and the 14 pure-3D sparseconv3d
+    entries resolve through the same DSL; ref: names search the multimodal
+    file first, then the pure-3D file."""
+    import yaml
+
+    for fname, expect in (("minkowski_baseline", 26), ("sparseconv3d", 14)):
+        path = f"{REF}/models/segmentation/{fname}.yaml"
+        doc = yaml.safe_load(open(path))
+        n = sum(1 for k in doc if k != "defaults")
+        assert n == expect
+        for name in doc:
+            if name != "defaults":
+                load_model_spec(path, name, num_classes=13, in_channels=4)
+
+    spec = get_model_spec("ref:minkowski_baseline/MinkUNet14A", 13)
+    assert spec.backbone == "Res16UNet14A" and not spec.branches
