@@ -152,7 +152,29 @@ def _get_recipe_batch():
     return batch
 
 
+def _backend_alive(timeout_s: int = 240) -> bool:
+    """Probe device init in a SUBPROCESS: a dead axon tunnel hangs
+    ``jax.devices()`` indefinitely, which would hang the whole bench."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "train_step_voxels_per_sec_per_chip",
+            "value": 0.0, "unit": "voxels/s", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (device init hung)",
+        }))
+        return
+
     import jax
 
     from deepviewagg_tpu.data.toy import flagship_spec
