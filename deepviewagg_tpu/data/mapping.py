@@ -325,6 +325,16 @@ class MultiViewMapping:
             pix_valid=pix_ok[pix_order],
         )
 
+
+    def drop_views(self, keep: np.ndarray) -> "MultiViewMapping":
+        """Invalidate views where ``keep`` is False (their pixels go too) —
+        the reference's ``select_views`` used by mapping-feature threshold
+        filters (image.py:877-933 PickMappingsFromMappingFeatures)."""
+        vc = self.view_capacity
+        keep = np.asarray(keep, bool)
+        pix_keep = keep[np.minimum(self.pix_view, vc - 1)]
+        return self.drop_pixels(pix_keep)
+
     def points_seen(self) -> np.ndarray:
         """bool [num_points]: which points have at least one valid view."""
         seen = np.zeros(self.num_points + 1, bool)

@@ -28,6 +28,7 @@ from .mapping import MultiViewMapping
 __all__ = [
     "pick_images_by_area",
     "pick_images_by_credit",
+    "pick_mappings_by_features",
     "select_images_by_coverage",
     "jitter_mapping_features",
     "normalize_images",
@@ -582,3 +583,33 @@ def add_pixel_width_feature(images: np.ndarray) -> np.ndarray:
         (i, w, h, 1),
     )
     return np.concatenate([img, feat], axis=3)
+
+
+def pick_mappings_by_features(cloud: dict, feat, lower=None,
+                              upper=None) -> dict:
+    """``PickMappingsFromMappingFeatures`` (image.py:877-933): drop views
+    whose mapping feature ``feat[i]`` falls outside the open interval
+    (lower[i], upper[i]); views keep the reference's strict-inequality
+    semantics.  Points that lose every view become unseen."""
+    m: MultiViewMapping = cloud["mapping"]
+
+    def _san(x, n):
+        if x is None:
+            return [None] * n
+        if not isinstance(x, (list, tuple)):
+            x = [x]
+        return list(x)
+
+    feat = _san(feat, 0)
+    lower = _san(lower, len(feat))
+    upper = _san(upper, len(feat))
+    assert len(lower) == len(feat) and len(upper) == len(feat)
+    keep = np.ones(m.view_capacity, bool)
+    for i, lo, up in zip(feat, lower, upper):
+        if lo is not None:
+            keep &= m.view_feats[:, i] > lo
+        if up is not None:
+            keep &= m.view_feats[:, i] < up
+    out = dict(cloud)
+    out["mapping"] = m.drop_views(keep)
+    return out

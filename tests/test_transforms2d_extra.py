@@ -103,3 +103,23 @@ def test_view_loss_and_propagate(rng):
     seen = np.array([True, True, False])
     out = propagate_unseen(logits, pos, seen)
     np.testing.assert_allclose(out[2], logits[0])
+
+
+def test_pick_mappings_by_features(cloud):
+    """PickMappingsFromMappingFeatures semantics: strict-threshold view
+    dropping on a mapping-feature column; invariants restored (valid views
+    own >= 1 pixel, dropped views' pixels vanish, unseen points appear)."""
+    from deepviewagg_tpu.data.transforms2d import pick_mappings_by_features
+
+    m = cloud["mapping"]
+    col = 0
+    med = float(np.median(m.view_feats[m.view_valid, col]))
+    out = pick_mappings_by_features(dict(cloud), feat=col, lower=med)
+    m2 = out["mapping"]
+    m2.check()
+    assert 0 < m2.num_views < m.num_views
+    assert (m2.view_feats[m2.view_valid, col] > med).all()
+    # no-op bounds keep everything
+    out2 = pick_mappings_by_features(dict(cloud), feat=col, lower=None,
+                                     upper=None)
+    assert out2["mapping"].num_views == m.num_views
