@@ -115,8 +115,15 @@ def _n_stages(conv: Dict) -> int:
 def _stage_strides(conv: Dict, constants: Optional[Dict] = None) -> List[int]:
     n = _n_stages(conv)
     sv = conv.get("stride", [1] + [2] * (n - 1))
-    return [int(resolve_constant(s, constants or {}) or 2)
-            for s in _as_list(sv, n)]
+    out = []
+    for s in _as_list(sv, n):
+        r = resolve_constant(s, constants or {})
+        if not isinstance(r, (int, float)):
+            # fail loudly: a silently-substituted stride would build a
+            # structurally different backbone
+            raise ValueError(f"unresolvable stride expression {s!r}")
+        out.append(int(r))
+    return out
 
 
 def _extract_backbone_plan(down: Dict, up: Dict, constants: Dict,
@@ -208,17 +215,34 @@ def load_model_spec(path: str, name: str, num_classes: int,
     stem_kernel = int(_as_list(down.get("kernel_size", [3]), 1)[0])
     strides3d = _stage_strides(down, constants)
     n_early = int(down.get("n_early_conv", 1))
+    # conv3d_before/after_fusion interleave Identity 3D modules into the
+    # padded module list (unet.py:459-470); 'before and not after' pairs
+    # each raw module with a trailing Identity (fusion after the module),
+    # 'after and not before' with a leading one (fusion before it)
+    before = bool(down.get("conv3d_before_fusion", True))
+    after = bool(down.get("conv3d_after_fusion", True))
 
     def level_of(bidx: int) -> int:
-        # branch attaches at the INPUT of down module `bidx` (flagship:
-        # down_conv_nn[0] is ['FEAT + out_feat_img', ...]); its 3D level is
-        # the number of downsamples strictly before that module.  Indices
-        # below n_early_conv are all pre-stem (the builder injects that many
-        # Identity early convs, unet.py:448-473) -> level 0.
+        # The reference PAIRS the (Identity-padded) 3D module list into
+        # multimodal blocks — n_early_conv*2 Identities prepended, fusion
+        # between block_1 and block_2 of block `bidx` (unet.py:441-510).
+        # The 3D level at that fusion point is the number of stride-2 raw
+        # modules that have already run, i.e. those whose padded index is
+        # <= 2*bidx.
         bidx = int(bidx)
-        if bidx < n_early:
-            return 0
-        return sum(1 for s in strides3d[:bidx] if s == 2)
+        if before and not after:
+            # raw module j at padded index 2*(n_early + j): module j ran
+            # iff 2*(n_early + j) <= 2*bidx
+            n_run = max(0, bidx - n_early + 1)
+        elif after and not before:
+            # raw module j at padded index 2*(n_early + j) + 1: ran iff
+            # 2*(n_early + j) + 1 <= 2*bidx
+            n_run = max(0, bidx - n_early)
+        else:
+            # unpadded: raw module j at padded index 2*n_early + j: ran
+            # iff 2*n_early + j <= 2*bidx
+            n_run = max(0, 2 * bidx + 1 - 2 * n_early)
+        return sum(1 for s in strides3d[:n_run] if s == 2)
 
     img = down.get("image")
     branches: List[Tuple[int, BranchSpec]] = []
@@ -301,6 +325,28 @@ def load_model_spec(path: str, name: str, num_classes: int,
     )
 
 
+def _resolve_image_tower(img: Dict, mod: str, out_hint, constants: Dict):
+    """(tower, deep_stem, out_channels) for one image-branch module name —
+    shared by the late-fusion and no3d spec builders (ResNetDown+up_conv ->
+    light 2D UNet; bare ResNetDown -> small encoder; truncation class
+    names via _tower_of with _TOWER_CHANNELS fallback)."""
+    idc = img["down_conv"]
+    if mod == "ResNetDown" and "up_conv" in img:
+        out_c = resolve_constant(
+            img.get("last_conv", {}).get(
+                "input_nc", img["up_conv"]["up_conv_nn"][-1][-1]),
+            constants) or 32
+        return "unet2d_light", False, int(out_c)
+    if mod == "ResNetDown" and "down_conv_nn" in idc:
+        out_c = resolve_constant(idc["down_conv_nn"][-1][-1], constants)
+        return "unet2d_32", False, int(out_c or 32)
+    tower, deep = _tower_of(mod)
+    out_c = resolve_constant(out_hint, constants)
+    if not isinstance(out_c, (int, float)):
+        out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
+    return tower, deep, int(out_c)
+
+
 def _late_spec(entry: Dict, num_classes: int, in_channels: int,
                family: str) -> ModelSpec:
     """LateFeatureFusion / LateLogitFusion entries: separate ``backbone_3d``
@@ -334,29 +380,16 @@ def _late_spec(entry: Dict, num_classes: int, in_channels: int,
 
     branches: List[Tuple[int, BranchSpec]] = []
     for i in range(n):
-        deep = False
-        if mods[i] == "ResNetDown" and "up_conv" in img:
-            tower = "unet2d_light"      # full image UNet -> light 2D UNet
-            out_c = resolve_constant(
-                img.get("last_conv", {}).get(
-                    "input_nc", img["up_conv"]["up_conv_nn"][-1][-1]),
-                cn) or 32
-        elif mods[i] == "ResNetDown" and "down_conv_nn" in idc:
-            tower = "unet2d_32"
-            out_c = resolve_constant(idc["down_conv_nn"][-1][-1], cn)
-        else:                 # truncation-tower class names (XYZ-RGB-*-late,
-            tower, deep = _tower_of(mods[i])       # PointPyramid-late)
-            out_c = resolve_constant(out_mod[i], cn)
-            if not isinstance(out_c, (int, float)):
-                out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
+        tower, deep, out_c = _resolve_image_tower(img, mods[i], out_mod[i],
+                                                  cn)
         branches.append((0, BranchSpec(
             tower=tower,
-            out_channels=int(out_c or 32),
+            out_channels=out_c,
             atomic_reduce=ap.get("mode", "max"),
             view_pool=pools[i],
             num_groups=int(resolve_constant(groups[i], cn) or 1),
             gated=bool(vp.get("gating", True)),
-            interpolate=bool(img.get("interpolate", True)),
+            interpolate=bool(img.get("interpolate", False)),
             tower_deep_stem=deep,
         )))
     return ModelSpec(
@@ -383,24 +416,17 @@ def _no3d_spec(entry: Dict, num_classes: int, in_channels: int) -> ModelSpec:
     out_mod = _as_list(vp.get("out_mod", vp.get("in_mod", 64)), n)
     branches: List[Tuple[int, BranchSpec]] = []
     for i in range(n):
-        if mods[i] == "ResNetDown" and "up_conv" in img:
-            tower, deep = "unet2d_light", False   # the light 2D UNet family
-            out_c = resolve_constant(
-                img.get("last_conv", {}).get("input_nc", 32), constants)
-        else:
-            tower, deep = _tower_of(mods[i])
-            out_c = resolve_constant(out_mod[i], constants)
-            if not isinstance(out_c, (int, float)):
-                out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
+        tower, deep, out_c = _resolve_image_tower(img, mods[i], out_mod[i],
+                                                  constants)
         branches.append((0, BranchSpec(
             tower=tower,
-            out_channels=int(out_c or 32),
+            out_channels=out_c,
             atomic_reduce=ap.get("mode", "max"),
             view_pool=pools[i],
             num_groups=int(resolve_constant(
                 _as_list(vp.get("num_groups", 1), n)[i], constants) or 1),
             gated=bool(vp.get("gating", True)),
-            interpolate=bool(img.get("interpolate", True)),
+            interpolate=bool(img.get("interpolate", False)),
             tower_deep_stem=deep,
         )))
     return ModelSpec(

@@ -81,7 +81,10 @@ _NAMED = {
         family="no3d",
         branches=[dict(level=0, tower="unet2d_light", out_channels=32,
                        atomic_reduce="max", view_pool="mean",
-                       interpolate=True)],
+                       # the published entry does NOT set interpolate; the
+                       # reference default is exact integer-pixel gather
+                       # (unet.py:538)
+                       interpolate=False)],
     ),
     "No3D-L4-max": dict(
         family="no3d",
@@ -219,8 +222,9 @@ def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
     ``ref:<file>/<entry>`` ingests a published reference YAML entry
     directly (``ref:sparseconv3d/Res16UNet21-15_Res16Image21_encoder_max``
     — any of the 141 entries; config/reference_ingest.py), so the CLI can
-    train a reference config verbatim.  Field ``overrides`` do not apply
-    to ingested specs (they describe zoo-grammar entries)."""
+    train a reference config verbatim.  ``overrides`` matching ModelSpec
+    FIELD names (stem_kernel, head_dropout, ...) apply on top via
+    dataclasses.replace; zoo-grammar entry keys do not."""
     if name.startswith("ref:"):
         import dataclasses as _dc
         import os
@@ -232,18 +236,24 @@ def get_model_spec(name: str, num_classes: int, in_channels: int = 4,
                               "/root/reference/conf/models/segmentation")
         # the multimodal file is tried first; same-named pure-3D files hold
         # the remaining entries (e.g. minkowski_baseline, 3D sparseconv3d)
+        import yaml as _yaml
+
         spec = None
-        for path in (f"{base}/multimodal/{fname}.yaml",
-                     f"{base}/{fname}.yaml"):
-            if os.path.exists(path):
-                try:
-                    spec = load_model_spec(path, entry_name, num_classes,
-                                           in_channels)
-                    break
-                except KeyError:
-                    continue
+        candidates = [p for p in (f"{base}/multimodal/{fname}.yaml",
+                                  f"{base}/{fname}.yaml")
+                      if os.path.exists(p)]
+        for path in candidates:
+            # only fall through when the ENTRY is absent — genuine ingest
+            # errors (unknown DSL keys etc.) must surface, not be
+            # misreported as a name typo
+            if entry_name in (_yaml.safe_load(open(path)) or {}):
+                spec = load_model_spec(path, entry_name, num_classes,
+                                       in_channels)
+                break
         if spec is None:
-            raise KeyError(f"entry '{entry_name}' not found for '{name}'")
+            raise KeyError(
+                f"entry '{entry_name}' not found for '{name}' "
+                f"(searched {candidates})")
         if overrides:
             known = {f.name for f in _dc.fields(spec)}
             spec = _dc.replace(

@@ -132,6 +132,11 @@ def hybrid_parallel_step(
     the feature maps, so the tower FLOPs split m-ways while the
     segment-structured 3D path stays replicated within a data shard.
 
+    LIMITATION: towers must use GroupNorm (per-image statistics).  A flax
+    nn.BatchNorm inside a tower would compute per-shard batch statistics
+    over its local image block (including zero-pad images), silently
+    diverging from the unsharded model; train.py rejects the combination.
+
     Correctness: after the all_gather everything downstream is replicated
     across ``model_axis``, so replicated params' grads are identical across
     it, while the all_gather's AD transpose (reduce-scatter) hands each

@@ -210,14 +210,16 @@ def test_multibranch_no3d_and_late_entries_build_and_run():
      [(0, "resnet18_ppm", 512, "group", "residual", True)]),
     ("sparse", "XYZ-RGB-L4-late-QKV", "late_feature",
      [(0, "resnet18_l4", 512, "qkv", "residual", True)]),
+    # levels follow the reference's multimodal-BLOCK pairing: fusion of
+    # block k sits after raw module 2k+1-2*n_early (unet.py:441-510)
     ("sparse", "Res16UNet21-15_ResImage3_light_2_mean_concatenation", "unet",
-     [(0, "shared:0", 32, "mean", "concat", False)]),
+     [(1, "shared:0", 32, "mean", "concat", False)]),
     ("sparse", "Res16UNet21-15_Res16Image21_encoder_max_both", "unet",
      [(0, "shared:0", 32, "max", "both", False),
-      (0, "shared:1", 32, "max", "both", False),
-      (1, "shared:2", 64, "max", "both", False),
-      (1, "shared:3", 128, "max", "both", False),
-      (2, "shared:4", 256, "max", "both", False)]),
+      (1, "shared:1", 32, "max", "both", False),
+      (2, "shared:2", 64, "max", "both", False),
+      (3, "shared:3", 128, "max", "both", False),
+      (4, "shared:4", 256, "max", "both", False)]),
     ("no3d", "RGB_PointPyramid-cityscapes-interpolate", "no3d",
      [(0, "resnet18_l0", 32, "group", "residual", True),
       (0, "resnet18_l1", 32, "group", "residual", True),

@@ -186,6 +186,15 @@ def main(argv=None):
     num_classes = getattr(train_ds, "num_classes", cfg.data.num_classes)
 
     spec = resolve_spec_from_cfg(cfg.model, num_classes)
+    if cfg.training.view_parallel > 1 and any(
+            b.tower_norm == "batch" for _, b in spec.branches):
+        # flax nn.BatchNorm inside the towers computes per-shard statistics
+        # (and would include zero-pad images), silently diverging from the
+        # unsharded model — only GroupNorm towers shard exactly
+        raise ValueError(
+            "training.view_parallel requires GroupNorm towers "
+            "(tower_norm='group'); BatchNorm statistics are per-model-shard "
+            "under view sharding")
     variables_hook = None
     freeze_paths = None
     if cfg.model.tower_weights or cfg.model.tower_frozen:
