@@ -257,3 +257,20 @@ def test_minkowski_baseline_and_pure3d_entries_resolve():
 
     spec = get_model_spec("ref:minkowski_baseline/MinkUNet14A", 13)
     assert spec.backbone == "Res16UNet14A" and not spec.branches
+
+
+def test_unresolvable_stride_raises():
+    """A stride expression missing from define_constants must fail loudly,
+    not silently become a downsample."""
+    from deepviewagg_tpu.config.reference_ingest import _stage_strides
+
+    with pytest.raises(ValueError, match="unresolvable stride"):
+        _stage_strides({"down_conv_nn": [[4, 8], [8, 16]],
+                        "stride": [1, "mystery_s"]}, {})
+
+
+def test_ref_name_missing_entry_error_is_transparent():
+    """A typo'd entry name reports which files were searched; a genuine
+    ingest error inside a present entry is NOT masked as a name typo."""
+    with pytest.raises(KeyError, match="not found for"):
+        get_model_spec("ref:sparseconv3d/NoSuchEntryXYZ", 13)
