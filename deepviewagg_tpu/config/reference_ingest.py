@@ -307,6 +307,8 @@ def load_model_spec(path: str, name: str, num_classes: int,
                 view_pool=pools[i],
                 num_groups=int(resolve_constant(groups[i], constants) or 1),
                 use_mod=bool(vp.get("use_mod", False)),
+                set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
+                    vp.get("map_encoder", ""), "deepset"),
                 gated=bool(vp.get("gating", True)),
                 interpolate=bool(img.get("interpolate", False)),
                 fusion_mode=fusions[i],
@@ -387,6 +389,8 @@ def _late_spec(entry: Dict, num_classes: int, in_channels: int,
             out_channels=out_c,
             atomic_reduce=ap.get("mode", "max"),
             view_pool=pools[i],
+            set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
+                vp.get("map_encoder", ""), "deepset"),
             num_groups=int(resolve_constant(groups[i], cn) or 1),
             gated=bool(vp.get("gating", True)),
             interpolate=bool(img.get("interpolate", False)),
@@ -423,6 +427,8 @@ def _no3d_spec(entry: Dict, num_classes: int, in_channels: int) -> ModelSpec:
             out_channels=out_c,
             atomic_reduce=ap.get("mode", "max"),
             view_pool=pools[i],
+            set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
+                vp.get("map_encoder", ""), "deepset"),
             num_groups=int(resolve_constant(
                 _as_list(vp.get("num_groups", 1), n)[i], constants) or 1),
             gated=bool(vp.get("gating", True)),

@@ -68,6 +68,9 @@ class BranchSpec:
     # bf16 tower activations (f32 params/accumulation) — halves the tower's
     # HBM traffic on TPU; set False for strict f32 parity runs
     tower_bf16: bool = True
+    # map-feature set encoder inside the group attention pool
+    # (ref map_encoder: DeepSetFeat | MinMaxDiffSetFeat, pooling.py:372)
+    set_encoder: str = "deepset"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,6 +276,7 @@ class MultimodalSeg(nn.Module):
                         view_pool=spec.view_pool,
                         num_groups=spec.num_groups,
                         use_mod=spec.use_mod,
+                        set_encoder=spec.set_encoder,
                         gated=spec.gated,
                         interpolate=spec.interpolate,
                         drop_modality=spec.drop_modality,
@@ -354,6 +358,7 @@ class No3DSeg(nn.Module):
                 tower=tower, out_channels=bspec.out_channels,
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
                 num_groups=bspec.num_groups, gated=bspec.gated,
+                set_encoder=bspec.set_encoder,
                 interpolate=bspec.interpolate, fusion_mode="modality",
                 keep_last_view=(k == 0), frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
@@ -419,6 +424,7 @@ class LateFusionSeg(nn.Module):
                 tower=tower, out_channels=bspec.out_channels,
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
                 num_groups=bspec.num_groups, gated=bspec.gated,
+                set_encoder=bspec.set_encoder,
                 interpolate=bspec.interpolate, fusion_mode="modality",
                 remat_tower=bspec.remat_tower, frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,

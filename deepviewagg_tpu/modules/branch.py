@@ -72,6 +72,10 @@ class UnimodalBranch(nn.Module):
     view_pool: str = "group"          # group | qkv | max | mean | heuristic
     num_groups: int = 1
     use_mod: bool = False
+    # map-feature set encoder inside the group pool: 'deepset' (DeepSetFeat,
+    # the flagship default) | 'minmaxdiff' | 'mlp' (ref map_encoder option,
+    # pooling.py:372)
+    set_encoder: str = "deepset"
     gated: bool = True
     interpolate: bool = True
     drop_modality: float = 0.0
@@ -136,7 +140,8 @@ class UnimodalBranch(nn.Module):
         if self.view_pool == "group":
             pooled, attn = GroupViewPool(
                 self.out_channels, num_groups=self.num_groups,
-                use_mod=self.use_mod, gated=self.gated, name="view_pool",
+                use_mod=self.use_mod, gated=self.gated,
+                set_encoder=self.set_encoder, name="view_pool",
             )(x_view, x_map, pid, v_valid, num_points + 1, train=train,
               ptr=p_ptr, seg_valid=seg_ok)
         elif self.view_pool == "qkv":

@@ -274,3 +274,12 @@ def test_ref_name_missing_entry_error_is_transparent():
     ingest error inside a present entry is NOT masked as a name typo."""
     with pytest.raises(KeyError, match="not found for"):
         get_model_spec("ref:sparseconv3d/NoSuchEntryXYZ", 13)
+
+
+def test_map_encoder_choice_ingests():
+    """map_encoder: MinMaxDiffSetFeat vs DeepSetFeat reaches BranchSpec
+    (and through it the group pool's set encoder)."""
+    a = load_model_spec(NO3D, "RGB_ResNet18PPM_g4_MinMaxDiffSetFeat", 13, 4)
+    b = load_model_spec(NO3D, "RGB_ResNet18PPM_g4_DeepSetFeat", 13, 4)
+    assert a.branches[0][1].set_encoder == "minmaxdiff"
+    assert b.branches[0][1].set_encoder == "deepset"
