@@ -309,6 +309,8 @@ def load_model_spec(path: str, name: str, num_classes: int,
                 use_mod=bool(vp.get("use_mod", False)),
                 set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
                     vp.get("map_encoder", ""), "deepset"),
+                pool_use_num=bool(vp.get("use_num", False)),
+                pool_scaling=bool(vp.get("group_scaling", True)),
                 gated=bool(vp.get("gating", True)),
                 interpolate=bool(img.get("interpolate", False)),
                 fusion_mode=fusions[i],
@@ -391,6 +393,8 @@ def _late_spec(entry: Dict, num_classes: int, in_channels: int,
             view_pool=pools[i],
             set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
                 vp.get("map_encoder", ""), "deepset"),
+            pool_use_num=bool(vp.get("use_num", False)),
+            pool_scaling=bool(vp.get("group_scaling", True)),
             num_groups=int(resolve_constant(groups[i], cn) or 1),
             gated=bool(vp.get("gating", True)),
             interpolate=bool(img.get("interpolate", False)),
@@ -429,6 +433,8 @@ def _no3d_spec(entry: Dict, num_classes: int, in_channels: int) -> ModelSpec:
             view_pool=pools[i],
             set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
                 vp.get("map_encoder", ""), "deepset"),
+            pool_use_num=bool(vp.get("use_num", False)),
+            pool_scaling=bool(vp.get("group_scaling", True)),
             num_groups=int(resolve_constant(
                 _as_list(vp.get("num_groups", 1), n)[i], constants) or 1),
             gated=bool(vp.get("gating", True)),

@@ -71,6 +71,8 @@ class BranchSpec:
     # map-feature set encoder inside the group attention pool
     # (ref map_encoder: DeepSetFeat | MinMaxDiffSetFeat, pooling.py:372)
     set_encoder: str = "deepset"
+    pool_use_num: bool = True       # DeepSetFeat use_num (flagship True)
+    pool_scaling: bool = True       # group_scaling (ref Group default True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,6 +279,8 @@ class MultimodalSeg(nn.Module):
                         num_groups=spec.num_groups,
                         use_mod=spec.use_mod,
                         set_encoder=spec.set_encoder,
+                        pool_use_num=spec.pool_use_num,
+                        pool_scaling=spec.pool_scaling,
                         gated=spec.gated,
                         interpolate=spec.interpolate,
                         drop_modality=spec.drop_modality,
@@ -359,6 +363,8 @@ class No3DSeg(nn.Module):
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
                 num_groups=bspec.num_groups, gated=bspec.gated,
                 set_encoder=bspec.set_encoder,
+                pool_use_num=bspec.pool_use_num,
+                pool_scaling=bspec.pool_scaling,
                 interpolate=bspec.interpolate, fusion_mode="modality",
                 keep_last_view=(k == 0), frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
@@ -425,6 +431,8 @@ class LateFusionSeg(nn.Module):
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
                 num_groups=bspec.num_groups, gated=bspec.gated,
                 set_encoder=bspec.set_encoder,
+                pool_use_num=bspec.pool_use_num,
+                pool_scaling=bspec.pool_scaling,
                 interpolate=bspec.interpolate, fusion_mode="modality",
                 remat_tower=bspec.remat_tower, frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,

@@ -76,6 +76,8 @@ class UnimodalBranch(nn.Module):
     # the flagship default) | 'minmaxdiff' | 'mlp' (ref map_encoder option,
     # pooling.py:372)
     set_encoder: str = "deepset"
+    pool_use_num: bool = True       # DeepSetFeat use_num (flagship True)
+    pool_scaling: bool = True       # group_scaling (ref Group default True)
     gated: bool = True
     interpolate: bool = True
     drop_modality: float = 0.0
@@ -141,7 +143,8 @@ class UnimodalBranch(nn.Module):
             pooled, attn = GroupViewPool(
                 self.out_channels, num_groups=self.num_groups,
                 use_mod=self.use_mod, gated=self.gated,
-                set_encoder=self.set_encoder, name="view_pool",
+                set_encoder=self.set_encoder, use_num=self.pool_use_num,
+                scaling=self.pool_scaling, name="view_pool",
             )(x_view, x_map, pid, v_valid, num_points + 1, train=train,
               ptr=p_ptr, seg_valid=seg_ok)
         elif self.view_pool == "qkv":

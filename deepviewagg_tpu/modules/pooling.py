@@ -235,6 +235,9 @@ class GroupViewPool(nn.Module):
     gated: bool = True
     scaling: bool = True
     set_encoder: str = "deepset"
+    # forwarded to DeepSetFeat (ref use_num kwarg; the flagship sets True,
+    # the reference class default is False)
+    use_num: bool = True
 
     @nn.compact
     def __call__(
@@ -244,7 +247,8 @@ class GroupViewPool(nn.Module):
         g = self.num_groups
         c = self.out_channels
         if self.set_encoder == "deepset":
-            enc = DeepSetFeat(self.set_channels, name="set_enc")(
+            enc = DeepSetFeat(self.set_channels, use_num=self.use_num,
+                              name="set_enc")(
                 x_map, segment_ids, valid, num_segments, train=train, ptr=ptr,
                 seg_valid=seg_valid,
             )
