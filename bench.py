@@ -20,6 +20,9 @@ import numpy as np
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
+# bump when a new round starts; stamps newly-seeded baselines
+CURRENT_ROUND = 4
+
 
 CACHE = os.path.join(os.path.dirname(__file__), "bench_batch.npz")
 
@@ -166,8 +169,26 @@ def _backend_alive(timeout_s: int = 240) -> bool:
         return False
 
 
+def _backend_alive_with_retries() -> bool:
+    """A transiently-hung tunnel must not zero a whole round: probe several
+    times with backoff (~10 min worst case) before giving up, logging each
+    attempt to stderr so the driver transcript shows what happened."""
+    schedule = [(120, 0), (120, 30), (180, 60), (240, 0)]
+    for i, (probe_s, sleep_s) in enumerate(schedule, 1):
+        t0 = time.time()
+        ok = _backend_alive(probe_s)
+        print(f"bench: backend probe {i}/{len(schedule)} "
+              f"({probe_s}s budget) -> {'ok' if ok else 'DEAD'} "
+              f"in {time.time() - t0:.0f}s", file=sys.stderr)
+        if ok:
+            return True
+        if sleep_s:
+            time.sleep(sleep_s)
+    return False
+
+
 def main():
-    if not _backend_alive():
+    if not _backend_alive_with_retries():
         print(json.dumps({
             "metric": "train_step_voxels_per_sec_per_chip",
             "value": 0.0, "unit": "voxels/s", "vs_baseline": 0.0,
@@ -282,32 +303,49 @@ def main():
             base = json.load(open(BASELINE_FILE))
         except Exception:
             pass
+
+    def base_val(key):
+        """Baselines are labeled {'v':..,'round':..,'date':..} entries;
+        existing entries are NEVER overwritten (a baseline that silently
+        re-seeds itself reads as 1.0 forever)."""
+        e = base.get(key)
+        if isinstance(e, dict):
+            return e.get("v")
+        return e  # legacy bare-float format
+
     changed = False
     pairs = [("value", fwd_value), ("train_value", train_value)]
     if recipe_value is not None:
         pairs.append(("recipe2d_train_value", recipe_value))
     for key, v in pairs:
-        if key not in base:
-            base[key] = v
+        if base_val(key) is None:
+            base[key] = {"v": v, "round": CURRENT_ROUND,
+                         "date": time.strftime("%Y-%m-%d")}
             changed = True
     if changed:
         try:
-            json.dump(base, open(BASELINE_FILE, "w"))
+            json.dump(base, open(BASELINE_FILE, "w"), indent=1)
         except OSError:
             pass
 
+    # round-2 driver-verified reference points (BENCH_r02.json), for
+    # cross-round interpretability of the deltas
+    R2 = {"train": 381383.7, "forward": 1038903.2}
     result = {
         "metric": "train_step_voxels_per_sec_per_chip",
         "value": round(train_value, 1),
         "unit": "voxels/s",
-        "vs_baseline": round(train_value / base["train_value"], 4),
+        "vs_baseline": round(train_value / base_val("train_value"), 4),
+        "vs_r2": round(train_value / R2["train"], 4),
         "forward_voxels_per_sec": round(fwd_value, 1),
-        "forward_vs_baseline": round(fwd_value / base["value"], 4),
+        "forward_vs_baseline": round(fwd_value / base_val("value"), 4),
+        "forward_vs_r2": round(fwd_value / R2["forward"], 4),
     }
     if recipe_value is not None:
         result["recipe2d_train_voxels_per_sec"] = round(recipe_value, 1)
-        result["recipe2d_vs_baseline"] = round(
-            recipe_value / base["recipe2d_train_value"], 4)
+        rb = base_val("recipe2d_train_value")
+        if rb:
+            result["recipe2d_vs_baseline"] = round(recipe_value / rb, 4)
     print(json.dumps(result))
 
 
