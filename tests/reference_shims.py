@@ -108,6 +108,22 @@ def scatter_add(src, index, dim=-1, out=None, dim_size=None):
     return res
 
 
+def scatter(src, index, dim=-1, out=None, dim_size=None, reduce="sum"):
+    """Generic dispatcher (torch_scatter.scatter documented semantics);
+    the reference uses it for x_seen merging (modules.py:225)."""
+    if reduce in ("sum", "add"):
+        if src.dtype == torch.bool:    # logical-or merge of seen masks
+            return scatter_add(src.long(), index, dim, out, dim_size) > 0
+        return scatter_add(src, index, dim, out, dim_size)
+    if reduce == "mean":
+        return scatter_mean(src, index, dim, out, dim_size)
+    if reduce == "max":
+        return scatter_max(src, index, dim, out, dim_size)[0]
+    if reduce == "min":
+        return scatter_min(src, index, dim, out, dim_size)[0]
+    raise ValueError(reduce)
+
+
 def _torch_scatter_module() -> types.ModuleType:
     mod = types.ModuleType("torch_scatter")
     mod.segment_csr = segment_csr
@@ -115,7 +131,51 @@ def _torch_scatter_module() -> types.ModuleType:
     mod.scatter_min = scatter_min
     mod.scatter_mean = scatter_mean
     mod.scatter_add = scatter_add
+    mod.scatter = scatter
     return mod
+
+
+# ------------------------------------------------------ torchsparse shim ----
+def sphash(coords):
+    """Injective int64 key for (N, 4) integer coordinates (torchsparse's
+    documented sphash contract: equal coords <-> equal keys, comparable
+    across calls).  Assumes |coord| < 2**14 — ample for test voxel grids."""
+    c = coords.long() + (1 << 14)
+    assert (c >= 0).all() and (c < (1 << 15)).all(), "coords out of shim range"
+    B = 1 << 15
+    return ((c[:, 0] * B + c[:, 1]) * B + c[:, 2]) * B + c[:, 3]
+
+
+def sphashquery(queries, references):
+    """Index of each query key in the reference keys, -1 when absent."""
+    lookup = {int(k): i for i, k in enumerate(references.tolist())}
+    return torch.tensor([lookup.get(int(k), -1) for k in queries.tolist()],
+                        dtype=torch.long)
+
+
+class FakeSparseTensor:
+    """Minimal stand-in exposing what forward_3d_block_down reads from a
+    torchsparse SparseTensor: features F, coords C (batch in LAST column),
+    stride s, and the per-stride coord_maps dict (modules.py:167-212)."""
+
+    def __init__(self, F, C, s=1, coord_maps=None):
+        self.F = F
+        self.C = C
+        self.s = s
+        self.coord_maps = coord_maps if coord_maps is not None else {s: C}
+
+
+def _torchsparse_modules() -> dict:
+    ts = types.ModuleType("torchsparse")
+    ts_nn = types.ModuleType("torchsparse.nn")
+    ts_f = types.ModuleType("torchsparse.nn.functional")
+    ts_f.sphash = sphash
+    ts_f.sphashquery = sphashquery
+    ts.SparseTensor = FakeSparseTensor
+    ts.nn = ts_nn
+    ts_nn.functional = ts_f
+    return {"torchsparse": ts, "torchsparse.nn": ts_nn,
+            "torchsparse.nn.functional": ts_f}
 
 
 def _numba_module() -> types.ModuleType:
@@ -253,6 +313,29 @@ def load_reference_image():
         "torch_points3d/core/multimodal/image.py",
         "torch_points3d.core.multimodal.image",
     )
+
+
+def load_reference_mm_modules():
+    """The reference's composed multimodal blocks — ``MultimodalBlockDown``
+    and ``UnimodalBranch`` (modules/multimodal/modules.py:23,249) — executed
+    verbatim with shims for torchsparse sphash/sphashquery and the
+    MODALITY_NAMES constant (core/multimodal/data.py:9-10; the real data.py
+    needs torch_geometric, absent here; the constant is ["image"])."""
+    name = "torch_points3d.modules.multimodal.modules"
+    if name in sys.modules:
+        return sys.modules[name]
+    for p in ("torch_points3d", "torch_points3d.core",
+              "torch_points3d.core.multimodal", "torch_points3d.modules",
+              "torch_points3d.modules.multimodal"):
+        _stub_package(p)
+    if "torch_points3d.core.multimodal.data" not in sys.modules:
+        data_mod = types.ModuleType("torch_points3d.core.multimodal.data")
+        data_mod.MODALITY_NAMES = ["image"]
+        sys.modules["torch_points3d.core.multimodal.data"] = data_mod
+    for n, mod in _torchsparse_modules().items():
+        sys.modules.setdefault(n, mod)
+    return load_reference_module(
+        "torch_points3d/modules/multimodal/modules.py", name)
 
 
 # ---------------------------------------------------- weight transplants ----
