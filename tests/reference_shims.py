@@ -470,3 +470,174 @@ def load_reference_grid_transform():
     )
     mod.Data = Data
     return mod
+
+
+def load_reference_image_modality():
+    """The reference's scratch 2D stack — ``Conv2dWS``/``ConvTranspose2dWS``/
+    ``ReLUWS``/``ResBlock``/``ResNetDown``/``ResNetUp``/``UnaryConv``/``UNet``
+    (modules/multimodal/modalities/image.py:39-627) — executed verbatim.
+
+    Stubs (written from documented semantics, nothing copied):
+      * ``torchvision`` / ``mit_semseg`` — only the PRETRAINED tower classes
+        touch them; the scratch classes under test never do.  The MIT
+        ``SynchronizedBatchNorm2d`` stub must be a real nn.Module subclass
+        because ``PrudentSynchronizedBatchNorm2d`` inherits from it at class
+        definition time (image.py:634).
+      * ``torch_points3d.utils.config`` — hydra/omegaconf are absent here;
+        the two helpers the scratch stack uses (``is_list``, plain-list
+        variant; ``fetch_arguments_from_list`` per its compact-format
+        docstring, utils/config.py:78-98) are reimplemented for lists.
+    """
+    name = "torch_points3d.modules.multimodal.modalities.image"
+    if name in sys.modules:
+        return sys.modules[name]
+    for p in ("torch_points3d", "torch_points3d.core",
+              "torch_points3d.modules", "torch_points3d.modules.multimodal",
+              "torch_points3d.modules.multimodal.modalities",
+              "torch_points3d.utils"):
+        _stub_package(p)
+
+    if "torch_points3d.utils.config" not in sys.modules:
+        cfg = types.ModuleType("torch_points3d.utils.config")
+
+        def is_list(e):
+            return isinstance(e, (list, tuple))
+
+        def fetch_arguments_from_list(opt, index, special_names):
+            args = {}
+            for o, v in opt.items():
+                nm = str(o)
+                if is_list(v) and len(v) > 0:
+                    if nm[-1] == "s" and nm not in special_names:
+                        nm = nm[:-1]
+                    v_index = v[index]
+                    if is_list(v_index):
+                        v_index = list(v_index)
+                    try:
+                        v_index = eval(v_index)
+                    except Exception:
+                        pass
+                    args[nm] = v_index
+                else:
+                    if is_list(v):
+                        v = list(v)
+                    args[nm] = v
+            return args
+
+        cfg.is_list = is_list
+        cfg.is_iterable = lambda e: isinstance(e, (list, tuple))
+        cfg.is_dict = lambda e: isinstance(e, dict)
+        cfg.fetch_arguments_from_list = fetch_arguments_from_list
+        sys.modules["torch_points3d.utils.config"] = cfg
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace()
+        sys.modules["torchvision"] = tv
+    if "mit_semseg" not in sys.modules:
+        import torch.nn as tnn
+
+        ms = types.ModuleType("mit_semseg")
+        ms_cfg = types.ModuleType("mit_semseg.config")
+        ms_cfg.cfg = types.SimpleNamespace()
+        ms_models = types.ModuleType("mit_semseg.models")
+        ms_models.ModelBuilder = type("ModelBuilder", (), {})
+        ms_lib = types.ModuleType("mit_semseg.lib")
+        ms_lib_nn = types.ModuleType("mit_semseg.lib.nn")
+        ms_lib_nn.SynchronizedBatchNorm2d = tnn.BatchNorm2d
+        ms.config, ms.models, ms.lib = ms_cfg, ms_models, ms_lib
+        ms_lib.nn = ms_lib_nn
+        for n, m in [("mit_semseg", ms), ("mit_semseg.config", ms_cfg),
+                     ("mit_semseg.models", ms_models),
+                     ("mit_semseg.lib", ms_lib),
+                     ("mit_semseg.lib.nn", ms_lib_nn)]:
+            sys.modules[n] = m
+    mod = load_reference_module(
+        "torch_points3d/modules/multimodal/modalities/image.py", name)
+
+    # torch-version compat (the reference targets torch~1.7 private APIs;
+    # semantics unchanged): modern _conv_forward takes bias explicitly, and
+    # _output_padding takes num_spatial_dims
+    def _conv_forward_compat(self, x, *args, **kwargs):
+        w = mod.standardize_weights(self.weight, scaled=self.scaled)
+        return self._conv_forward(x, w, self.bias)
+
+    mod.Conv2dWS.forward = _conv_forward_compat
+
+    def _tconv_forward_compat(self, x, *args, output_size=None, **kwargs):
+        import torch.nn.functional as F
+
+        output_padding = self._output_padding(
+            x, output_size, self.stride, self.padding, self.kernel_size,
+            num_spatial_dims=2, dilation=self.dilation)
+        w = mod.standardize_weights(self.weight, scaled=self.scaled)
+        return F.conv_transpose2d(
+            x, w, self.bias, self.stride, self.padding, output_padding,
+            self.groups, self.dilation)
+
+    mod.ConvTranspose2dWS.forward = _tconv_forward_compat
+    return mod
+
+
+# ------------------------------------- scratch 2D tower transplants --------
+def conv_t2j(t):
+    """torch Conv2d weight [out, in, kh, kw] -> flax HWIO."""
+    return t2j(t.permute(2, 3, 1, 0))
+
+
+def tconv_t2j(t):
+    """torch ConvTranspose2d weight [in, out, kh, kw] -> the repo's stored
+    forward view [kh, kw, in, out] (WSConvTranspose2d flips at use)."""
+    return t2j(t.permute(2, 3, 0, 1))
+
+
+def copy_scratch_resblock(sd, prefix, tree, transpose=False):
+    """Reference ``ResBlock`` state_dict -> repo ``RefResBlock`` params.
+    block Seq layout: 0 conv1 / 1 norm1 / 2 act / 3 conv2 / 4 norm2 / 5 act;
+    shortcut: downsample.0 conv + downsample.1 norm (image.py:152-181)."""
+    pre = f"{prefix}." if prefix else ""
+    cv = tconv_t2j if transpose else conv_t2j
+    for i, (c, n) in enumerate([("conv1", "norm1"), ("conv2", "norm2")]):
+        tree[c]["kernel"] = cv(sd[f"{pre}block.{3 * i}.weight"])
+        tree[c]["bias"] = t2j(sd[f"{pre}block.{3 * i}.bias"])
+        _copy_gn(sd, f"{pre}block.{3 * i + 1}", tree[n])
+    if f"{pre}downsample.0.weight" in sd:
+        tree["down_conv"]["kernel"] = conv_t2j(
+            sd[f"{pre}downsample.0.weight"])
+        tree["down_conv"]["bias"] = t2j(sd[f"{pre}downsample.0.bias"])
+        _copy_gn(sd, f"{pre}downsample.1", tree["down_norm"])
+
+
+def _copy_gn(sd, prefix, tree):
+    tree["GroupNorm_0"]["scale"] = t2j(sd[f"{prefix}.weight"])
+    tree["GroupNorm_0"]["bias"] = t2j(sd[f"{prefix}.bias"])
+
+
+def copy_scratch_stage(sd, prefix, tree, transpose=False, n_blocks=0):
+    """Reference ``ResNetDown``/``ResNetUp`` -> repo ``ResNetDown2D``/
+    ``ResNetUp2D``: conv_in Seq (0 conv / 1 norm / 2 act) + blocks.{j}."""
+    pre = f"{prefix}." if prefix else ""
+    cv = tconv_t2j if transpose else conv_t2j
+    tree["conv_in"]["kernel"] = cv(sd[f"{pre}conv_in.0.weight"])
+    tree["conv_in"]["bias"] = t2j(sd[f"{pre}conv_in.0.bias"])
+    _copy_gn(sd, f"{pre}conv_in.1", tree["norm_in"])
+    for j in range(n_blocks):
+        copy_scratch_resblock(sd, f"{pre}blocks.{j}",
+                              tree[f"block{j}"], transpose=transpose)
+
+
+def copy_scratch_unet(sd, tree, down_blocks, up_blocks, has_last=True,
+                      down_prefix="down_modules", up_prefix="up_modules",
+                      last_prefix="last"):
+    """A reference compact-format UNet tower (down ResNetDowns + up
+    ResNetUps + UnaryConv last, image.py:546-572) -> repo ``UNetWS``."""
+    for i, nb in enumerate(down_blocks):
+        copy_scratch_stage(sd, f"{down_prefix}.{i}", tree[f"down{i}"],
+                           transpose=False, n_blocks=nb)
+    for i, nb in enumerate(up_blocks):
+        copy_scratch_stage(sd, f"{up_prefix}.{i}", tree[f"up{i}"],
+                           transpose=True, n_blocks=nb)
+    if has_last:
+        tree["last"]["conv"]["kernel"] = conv_t2j(
+            sd[f"{last_prefix}.conv.weight"])
+        tree["last"]["conv"]["bias"] = t2j(sd[f"{last_prefix}.conv.bias"])
