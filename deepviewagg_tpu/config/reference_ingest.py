@@ -107,6 +107,33 @@ _POOL_NAMES = {
 }
 
 
+def _pool_kwargs(vp: Dict, pool: str) -> Dict:
+    """``view_pooling`` subtree -> learned-pool BranchSpec kwargs.
+
+    ``group_scaling`` defaults follow the class the YAML names:
+    GroupBimodalCSRPool defaults True (ref pooling.py:209), QKV False
+    (:373).  ``use_map_min/max/num`` and ``in_score`` keys are deliberately
+    NOT read: upstream forwards them into set encoders that only accept
+    ``use_min/max/num``, so ``**kwargs`` swallows them and class defaults
+    win — faithful ingestion reproduces the executed behavior, not the
+    YAML author's intent (see QKVViewPool docstring)."""
+    return dict(
+        set_encoder={"MinMaxDiffSetFeat": "minmaxdiff",
+                     "MLPSetFeat": "mlp"}.get(
+            vp.get("map_encoder", ""), "deepset"),
+        pool_use_num=bool(vp.get("use_num", False)),
+        pool_scaling=bool(vp.get("group_scaling", pool == "group")),
+        gated=bool(vp.get("gating", True)),
+        use_mod=bool(vp.get("use_mod", False)),
+        use_mod_q=bool(vp.get("use_mod_q", False)),
+        use_mod_k=bool(vp.get("use_mod_k", False)),
+        qk_channels=int(vp.get("nc_qk", 8)),
+        dim_scaling=bool(vp.get("dim_scaling", True)),
+        pool_modes=tuple(str(vp.get("pool", "max")).split("_")),
+        pool_fusion=str(vp.get("fusion", "concatenation")),
+    )
+
+
 def _n_stages(conv: Dict) -> int:
     nn_ = conv.get("down_conv_nn", conv.get("up_conv_nn"))
     return len(nn_) if isinstance(nn_, list) else 1
@@ -306,15 +333,10 @@ def load_model_spec(path: str, name: str, num_classes: int,
                 atomic_reduce=ap.get("mode", "max"),
                 view_pool=pools[i],
                 num_groups=int(resolve_constant(groups[i], constants) or 1),
-                use_mod=bool(vp.get("use_mod", False)),
-                set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
-                    vp.get("map_encoder", ""), "deepset"),
-                pool_use_num=bool(vp.get("use_num", False)),
-                pool_scaling=bool(vp.get("group_scaling", True)),
-                gated=bool(vp.get("gating", True)),
                 interpolate=bool(img.get("interpolate", False)),
                 fusion_mode=fusions[i],
                 tower_deep_stem=deep,
+                **_pool_kwargs(vp, pools[i]),
             )))
     return ModelSpec(
         num_classes=num_classes,
@@ -391,14 +413,10 @@ def _late_spec(entry: Dict, num_classes: int, in_channels: int,
             out_channels=out_c,
             atomic_reduce=ap.get("mode", "max"),
             view_pool=pools[i],
-            set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
-                vp.get("map_encoder", ""), "deepset"),
-            pool_use_num=bool(vp.get("use_num", False)),
-            pool_scaling=bool(vp.get("group_scaling", True)),
             num_groups=int(resolve_constant(groups[i], cn) or 1),
-            gated=bool(vp.get("gating", True)),
             interpolate=bool(img.get("interpolate", False)),
             tower_deep_stem=deep,
+            **_pool_kwargs(vp, pools[i]),
         )))
     return ModelSpec(
         num_classes=num_classes,
@@ -431,15 +449,11 @@ def _no3d_spec(entry: Dict, num_classes: int, in_channels: int) -> ModelSpec:
             out_channels=out_c,
             atomic_reduce=ap.get("mode", "max"),
             view_pool=pools[i],
-            set_encoder={"MinMaxDiffSetFeat": "minmaxdiff"}.get(
-                vp.get("map_encoder", ""), "deepset"),
-            pool_use_num=bool(vp.get("use_num", False)),
-            pool_scaling=bool(vp.get("group_scaling", True)),
             num_groups=int(resolve_constant(
                 _as_list(vp.get("num_groups", 1), n)[i], constants) or 1),
-            gated=bool(vp.get("gating", True)),
             interpolate=bool(img.get("interpolate", False)),
             tower_deep_stem=deep,
+            **_pool_kwargs(vp, pools[i]),
         )))
     return ModelSpec(
         num_classes=num_classes,

@@ -73,6 +73,17 @@ class BranchSpec:
     set_encoder: str = "deepset"
     pool_use_num: bool = True       # DeepSetFeat use_num (flagship True)
     pool_scaling: bool = True       # group_scaling (ref Group default True)
+    # QKV-only knobs (ref QKVBimodalCSRPool nc_qk/use_mod_q/use_mod_k,
+    # pooling.py:372-453); the published use_map_min/max/num + in_score keys
+    # are silently swallowed upstream and so deliberately have no surface
+    qk_channels: int = 8
+    use_mod_q: bool = False
+    use_mod_k: bool = False
+    dim_scaling: bool = True   # 1/sqrt(nc_qk) on QKV scores (ref :374)
+    # DeepSetFeat pool/fusion kwargs — correctly-named YAML keys that DO
+    # reach the encoder upstream (one entry uses pool: min_max)
+    pool_modes: Tuple[str, ...] = ("max",)
+    pool_fusion: str = "concatenation"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,6 +292,12 @@ class MultimodalSeg(nn.Module):
                         set_encoder=spec.set_encoder,
                         pool_use_num=spec.pool_use_num,
                         pool_scaling=spec.pool_scaling,
+                        qk_channels=spec.qk_channels,
+                        use_mod_q=spec.use_mod_q,
+                        use_mod_k=spec.use_mod_k,
+                        dim_scaling=spec.dim_scaling,
+                        pool_modes=spec.pool_modes,
+                        pool_fusion=spec.pool_fusion,
                         gated=spec.gated,
                         interpolate=spec.interpolate,
                         drop_modality=spec.drop_modality,
@@ -365,6 +382,9 @@ class No3DSeg(nn.Module):
                 set_encoder=bspec.set_encoder,
                 pool_use_num=bspec.pool_use_num,
                 pool_scaling=bspec.pool_scaling,
+                pool_modes=bspec.pool_modes,
+                pool_fusion=bspec.pool_fusion,
+                use_mod=bspec.use_mod,
                 interpolate=bspec.interpolate, fusion_mode="modality",
                 keep_last_view=(k == 0), frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
@@ -433,15 +453,26 @@ class LateFusionSeg(nn.Module):
                 set_encoder=bspec.set_encoder,
                 pool_use_num=bspec.pool_use_num,
                 pool_scaling=bspec.pool_scaling,
+                qk_channels=bspec.qk_channels,
+                use_mod=bspec.use_mod,
+                use_mod_q=bspec.use_mod_q,
+                use_mod_k=bspec.use_mod_k,
+                dim_scaling=bspec.dim_scaling,
+                pool_modes=bspec.pool_modes,
+                pool_fusion=bspec.pool_fusion,
                 interpolate=bspec.interpolate, fusion_mode="modality",
                 remat_tower=bspec.remat_tower, frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
                 name="branch" if k == 0 else f"branch_{k}",
             )
+            # the reference threads the 3D backbone's OUTPUT features into
+            # the no3d backbone (multimodal/sparseconv3d.py:110-121), so
+            # QKV view pools in late models draw queries from them; with
+            # fusion_mode='modality' the branch output is pooled-only either
+            # way
             x2d_k, seen_k, _ = branch(
-                None, images, batch["mappings"][0],
+                x3d, images, batch["mappings"][0],
                 (images.shape[1], images.shape[2]), train=train,
-                num_points=x3d.shape[0],
             )
             x2d_all.append(x2d_k)
             x_seen = seen_k if x_seen is None else (x_seen | seen_k)

@@ -78,6 +78,17 @@ class UnimodalBranch(nn.Module):
     set_encoder: str = "deepset"
     pool_use_num: bool = True       # DeepSetFeat use_num (flagship True)
     pool_scaling: bool = True       # group_scaling (ref Group default True)
+    # DeepSetFeat pool/fusion kwargs (ref pool='min_max' entry,
+    # sparseconv3d.yaml:4265)
+    pool_modes: Tuple[str, ...] = ("max",)
+    pool_fusion: str = "concatenation"
+    # QKV-only knobs (ref QKVBimodalCSRPool, pooling.py:372-453):
+    # nc_qk per-group head width; use_mod_q/use_mod_k mix the value
+    # embedding into the query/key paths
+    qk_channels: int = 8
+    use_mod_q: bool = False
+    use_mod_k: bool = False
+    dim_scaling: bool = True   # 1/sqrt(nc_qk) on QKV scores (ref :374)
     gated: bool = True
     interpolate: bool = True
     drop_modality: float = 0.0
@@ -144,13 +155,19 @@ class UnimodalBranch(nn.Module):
                 self.out_channels, num_groups=self.num_groups,
                 use_mod=self.use_mod, gated=self.gated,
                 set_encoder=self.set_encoder, use_num=self.pool_use_num,
+                enc_pool=self.pool_modes, enc_fusion=self.pool_fusion,
                 scaling=self.pool_scaling, name="view_pool",
             )(x_view, x_map, pid, v_valid, num_points + 1, train=train,
               ptr=p_ptr, seg_valid=seg_ok)
         elif self.view_pool == "qkv":
             pooled, attn = QKVViewPool(
                 self.out_channels, num_groups=self.num_groups,
-                gated=self.gated, name="view_pool",
+                qk_channels=self.qk_channels, gated=self.gated,
+                scaling=self.pool_scaling, use_mod_q=self.use_mod_q,
+                use_mod_k=self.use_mod_k, dim_scaling=self.dim_scaling,
+                set_encoder=self.set_encoder,
+                use_num=self.pool_use_num, enc_pool=self.pool_modes,
+                enc_fusion=self.pool_fusion, name="view_pool",
             )(x_3d, x_view, x_map, pid, v_valid, num_points + 1, train=train,
               ptr=p_ptr, seg_valid=seg_ok)
         elif self.view_pool == "heuristic":

@@ -235,9 +235,12 @@ class GroupViewPool(nn.Module):
     gated: bool = True
     scaling: bool = True
     set_encoder: str = "deepset"
-    # forwarded to DeepSetFeat (ref use_num kwarg; the flagship sets True,
-    # the reference class default is False)
+    # forwarded to DeepSetFeat (ref use_num/pool/fusion kwargs; the flagship
+    # sets use_num=True, the reference class default is False; one published
+    # entry uses pool='min_max', sparseconv3d.yaml:4265)
     use_num: bool = True
+    enc_pool: Tuple[str, ...] = ("max",)
+    enc_fusion: str = "concatenation"
 
     @nn.compact
     def __call__(
@@ -248,6 +251,8 @@ class GroupViewPool(nn.Module):
         c = self.out_channels
         if self.set_encoder == "deepset":
             enc = DeepSetFeat(self.set_channels, use_num=self.use_num,
+                              pool_modes=self.enc_pool,
+                              fusion=self.enc_fusion,
                               name="set_enc")(
                 x_map, segment_ids, valid, num_segments, train=train, ptr=ptr,
                 seg_valid=seg_valid,
@@ -298,6 +303,19 @@ class QKVViewPool(nn.Module):
     the set-encoded map features; per-group dot-product scores with optional
     ``1/sqrt(d)`` scaling, then the same softmax / weighted-sum / gating tail.
 
+    ``use_mod_q`` / ``use_mod_k`` (ref pooling.py:436-442/449-453) mix the
+    E_mod value embedding into the query / key paths through an ``E_mix``
+    MLP whose hidden width follows the reference's
+    ``nearest_power_of_2((in+out)/2, out*2)`` rule.  With ``use_mod_q`` the
+    queries become per-VIEW (computed after expanding the point embedding to
+    views) instead of per-point.
+
+    The published QKV entries' ``use_map_min/max/num`` keys are
+    intentionally NOT surfaced: upstream forwards them into set encoders
+    that only accept ``use_min/max/num``, so they are silently swallowed by
+    ``**kwargs`` and the class defaults win (pooling.py:382/565/618) —
+    faithful ingestion ignores them too.
+
     ``x_main`` is ``[num_segments - 1, C3d]`` (no drop row); a zero query row
     is appended internally for the drop slot.
     """
@@ -309,6 +327,14 @@ class QKVViewPool(nn.Module):
     gated: bool = True
     scaling: bool = False     # ref group_scaling=False for QKV (pooling.py:373)
     dim_scaling: bool = True
+    use_mod_q: bool = False
+    use_mod_k: bool = False
+    # map/key encoder family + its kwargs (ref map_encoder + **kwargs,
+    # pooling.py:420-421); use_num reaches DeepSetFeat only
+    set_encoder: str = "deepset"
+    use_num: bool = True
+    enc_pool: Tuple[str, ...] = ("max",)
+    enc_fusion: str = "concatenation"
 
     @nn.compact
     def __call__(
@@ -320,18 +346,58 @@ class QKVViewPool(nn.Module):
         d = self.qk_channels
         nc = self.set_channels
         # ref structure (pooling.py:416-451): E_main 2-layer MLP -> Q linear;
-        # DeepSetFeat map encoder -> K linear; E_mod 2-layer MLP values
+        # map encoder -> K linear; E_mod 2-layer MLP values
         x_main_emb = MLP([nc, nc], name="e_main")(x_main, train=train)
-        queries = nn.Dense(g * d, name="q")(x_main_emb)          # [N, G*d]
-        queries = jnp.concatenate(
-            [queries, jnp.zeros((num_segments - queries.shape[0], g * d))]
-        )                                                            # [S, G*d]
-        enc = DeepSetFeat(nc, name="key_enc")(
-            x_map, segment_ids, valid, num_segments, train=train, ptr=ptr,
-            seg_valid=seg_valid,
-        )
-        keys = nn.Dense(g * d, name="k")(enc)                    # [E, G*d]
-        q = queries.reshape(num_segments, g, d)[segment_ids]
+        if self.set_encoder == "deepset":
+            enc = DeepSetFeat(nc, use_num=self.use_num,
+                              pool_modes=self.enc_pool,
+                              fusion=self.enc_fusion, name="key_enc")(
+                x_map, segment_ids, valid, num_segments, train=train, ptr=ptr,
+                seg_valid=seg_valid,
+            )
+        elif self.set_encoder == "minmaxdiff":
+            enc = MinMaxDiffSetFeat(nc, name="key_enc")(
+                x_map, segment_ids, valid, num_segments, train=train, ptr=ptr
+            )
+        else:  # plain per-element MLP (MLPSetFeat, pooling.py:676)
+            enc = MLP([nc, nc], name="key_enc")(x_map, valid=valid,
+                                                train=train)
+        # values are computed before Q/K so E_mix paths can consume them
+        # (ref forward order, pooling.py:478-484)
+        values = MLP([c, c], name="e_mod")(x_mod, valid=valid, train=train)
+        if self.use_mod_k:
+            # keys from cat(map_enc, values) -> E_mix_K -> K (ref :486-490)
+            in_mix = nc + values.shape[-1]
+            mid = nearest_power_of_2((in_mix + nc) / 2, nc * 2)
+            x_mix_k = MLP([mid, nc], name="e_mix_k")(
+                jnp.concatenate([enc, values], axis=-1), valid=valid,
+                train=train,
+            )
+            keys = nn.Dense(g * d, name="k")(x_mix_k)            # [E, G*d]
+        else:
+            keys = nn.Dense(g * d, name="k")(enc)                # [E, G*d]
+        if self.use_mod_q:
+            # per-VIEW queries: expand the point embedding to views, mix
+            # with the values (ref :493-500)
+            x_main_pad = jnp.concatenate([
+                x_main_emb,
+                jnp.zeros((num_segments - x_main_emb.shape[0], nc),
+                          x_main_emb.dtype),
+            ])
+            x_main_v = x_main_pad[segment_ids]                   # [E, nc]
+            in_mix = nc + values.shape[-1]
+            mid = nearest_power_of_2((in_mix + nc) / 2, nc * 2)
+            x_mix_q = MLP([mid, nc], name="e_mix_q")(
+                jnp.concatenate([x_main_v, values], axis=-1), valid=valid,
+                train=train,
+            )
+            q = nn.Dense(g * d, name="q")(x_mix_q).reshape(-1, g, d)
+        else:
+            queries = nn.Dense(g * d, name="q")(x_main_emb)      # [N, G*d]
+            queries = jnp.concatenate(
+                [queries, jnp.zeros((num_segments - queries.shape[0], g * d))]
+            )                                                        # [S, G*d]
+            q = queries.reshape(num_segments, g, d)[segment_ids]
         k = keys.reshape(-1, g, d)
         compat = jnp.sum(q * k, axis=-1)                             # [E, G]
         if self.dim_scaling:
@@ -340,7 +406,6 @@ class QKVViewPool(nn.Module):
             compat, segment_ids, num_segments, valid=valid,
             scaling=self.scaling, ptr=ptr
         )
-        values = MLP([c, c], name="e_mod")(x_mod, valid=valid, train=train)
         pooled = seg.segment_weighted_sum(
             values, expand_group_feat(attn, g, c), segment_ids, num_segments,
             valid, ptr

@@ -283,3 +283,56 @@ def test_map_encoder_choice_ingests():
     b = load_model_spec(NO3D, "RGB_ResNet18PPM_g4_DeepSetFeat", 13, 4)
     assert a.branches[0][1].set_encoder == "minmaxdiff"
     assert b.branches[0][1].set_encoder == "deepset"
+
+
+def test_qkv_knobs_ingest():
+    """The QKV YAML surface reaches BranchSpec: use_mod_q/use_mod_k,
+    num_groups, group_scaling, use_num — and the per-class group_scaling
+    default (QKV False, pooling.py:373) when the entry omits it."""
+    b = load_model_spec(SPARSE, "XYZ-RGB-L4-late-QKV", 13, 4).branches[0][1]
+    assert (b.view_pool, b.num_groups) == ("qkv", 4)
+    assert not b.use_mod_q and not b.use_mod_k
+    assert b.pool_scaling and b.pool_use_num and b.gated
+    assert b.qk_channels == 8 and b.dim_scaling
+
+    k = load_model_spec(SPARSE, "XYZ-RGB-L4-late-QKV-modk", 13,
+                        4).branches[0][1]
+    assert k.use_mod_k and not k.use_mod_q and k.pool_scaling
+
+    # entry omits group_scaling -> reference QKV class default False
+    d = load_model_spec(SPARSE, "ResUNet34-L4-late-QKV", 13, 4).branches[0][1]
+    assert d.view_pool == "qkv" and not d.pool_scaling
+
+
+def test_attentive_alias_dim_scaling_ingest():
+    """The stale AttentiveBimodalCSRPool entries map to QKV with their
+    explicit dim_scaling/group_scaling flags; the dead in_score and
+    upstream-swallowed use_map_* keys are ignored."""
+    g = load_model_spec(SPARSE, "XYZ+RGB_a4-group_cat-1", 13, 4)
+    bg = g.branches[0][1]
+    assert bg.view_pool == "qkv" and not bg.dim_scaling and bg.pool_scaling
+
+    d = load_model_spec(SPARSE, "XYZ+RGB_a4-dim_cat-1", 13, 4).branches[0][1]
+    assert d.dim_scaling and not d.pool_scaling
+
+    # use_map_min/max/num set in YAML but swallowed upstream: specs equal
+    # the plain-dim entry's pool knobs
+    m = load_model_spec(SPARSE, "XYZ+RGB_a4-dim-min-max-num_cat-1", 13,
+                        4).branches[0][1]
+    assert (m.pool_use_num, m.set_encoder) == (d.pool_use_num, d.set_encoder)
+
+
+def test_min_max_set_pool_ingests():
+    """pool: min_max (sparseconv3d.yaml:4265) -> DeepSetFeat pool_modes
+    ('min', 'max')."""
+    import yaml as _y
+    doc = _y.safe_load(open(SPARSE))
+    name = next(
+        n for n, e in doc.items()
+        if isinstance(e, dict) and "min_max" in str(
+            e.get("backbone", e).get("down_conv", {}).get("image", {})
+            .get("view_pooling", {}).get("pool", "") if isinstance(
+                e.get("backbone", e), dict) else "")
+    )
+    spec = load_model_spec(SPARSE, name, 13, 4)
+    assert any(b.pool_modes == ("min", "max") for _, b in spec.branches)

@@ -173,13 +173,13 @@ def test_deepset_feat_parity(rng, refp, train, pool_modes):
 
 
 def _group_pool_pair(refp, rng, groups, channels, use_mod, train,
-                     gating=True, scaling=True):
+                     gating=True, scaling=True, pool="max"):
     ptr, ids, V = make_csr(rng)
     x_mod = rng.normal(size=(V, channels)).astype(np.float32)
     x_map = rng.normal(size=(V, 8)).astype(np.float32)
     ref_mod = refp.GroupBimodalCSRPool(
         in_map=8, in_mod=channels, num_groups=groups, use_mod=use_mod,
-        gating=gating, group_scaling=scaling, use_num=True)
+        gating=gating, group_scaling=scaling, use_num=True, pool=pool)
     randomize_torch_module(ref_mod, seed=11)
     ref_mod.train(train)
     ref = ref_mod(None, torch.from_numpy(x_mod), torch.from_numpy(x_map),
@@ -188,7 +188,8 @@ def _group_pool_pair(refp, rng, groups, channels, use_mod, train,
     import jax
 
     mine_mod = GroupViewPool(channels, num_groups=groups, use_mod=use_mod,
-                             gated=gating, scaling=scaling)
+                             gated=gating, scaling=scaling,
+                             enc_pool=tuple(pool.split("_")))
     variables = unfreeze(mine_mod.init(
         jax.random.PRNGKey(0), jnp.asarray(x_mod), jnp.asarray(x_map),
         jnp.asarray(ids), None, len(ptr) - 1))
@@ -237,16 +238,29 @@ def test_group_view_pool_noscaling_parity(rng, refp):
     np.testing.assert_allclose(mine, ref, **TOL)
 
 
-@pytest.mark.parametrize("train", [False, True])
-def test_qkv_view_pool_parity(rng, refp, train):
-    groups, channels, n_main = 4, 12, 40
+def test_group_view_pool_minmax_setpool_parity(rng, refp):
+    """The pool='min_max' published entry (sparseconv3d.yaml:4265): the
+    DeepSetFeat set reduction concatenates min and max."""
+    mine, ref = _group_pool_pair(refp, rng, 4, 12, False, False,
+                                 pool="min_max")
+    np.testing.assert_allclose(mine, ref, **TOL)
+
+
+def _qkv_pool_pair(refp, rng, train, *, groups=4, channels=12,
+                   use_mod_q=False, use_mod_k=False, group_scaling=False,
+                   nc_qk=8, gating=True, dim_scaling=True):
+    """Build the executed reference QKVBimodalCSRPool and this repo's
+    QKVViewPool with transplanted weights; return (mine, ref) outputs."""
+    n_main = 40
     ptr, ids, V = make_csr(rng, n_points=n_main)
     x_main = rng.normal(size=(n_main, 9)).astype(np.float32)
     x_mod = rng.normal(size=(V, channels)).astype(np.float32)
     x_map = rng.normal(size=(V, 8)).astype(np.float32)
     ref_mod = refp.QKVBimodalCSRPool(
         in_main=9, in_map=8, in_mod=channels, num_groups=groups,
-        gating=True, use_num=True)
+        nc_qk=nc_qk, use_mod_q=use_mod_q, use_mod_k=use_mod_k,
+        gating=gating, group_scaling=group_scaling, dim_scaling=dim_scaling,
+        use_num=True)
     randomize_torch_module(ref_mod, seed=7)
     ref_mod.train(train)
     ref = ref_mod(torch.from_numpy(x_main), torch.from_numpy(x_mod),
@@ -255,7 +269,10 @@ def test_qkv_view_pool_parity(rng, refp, train):
 
     import jax
 
-    mine_mod = QKVViewPool(channels, num_groups=groups, gated=True)
+    mine_mod = QKVViewPool(channels, num_groups=groups, qk_channels=nc_qk,
+                           gated=gating, scaling=group_scaling,
+                           use_mod_q=use_mod_q, use_mod_k=use_mod_k,
+                           dim_scaling=dim_scaling)
     variables = unfreeze(mine_mod.init(
         jax.random.PRNGKey(0), jnp.asarray(x_main), jnp.asarray(x_mod),
         jnp.asarray(x_map), jnp.asarray(ids), None, len(ptr) - 1))
@@ -264,12 +281,17 @@ def test_qkv_view_pool_parity(rng, refp, train):
     copy_torch_mlp(sd, "E_main", p["e_main"], s["e_main"])
     copy_deepset(sd, "E_map", p["key_enc"], s["key_enc"])
     copy_torch_mlp(sd, "E_mod", p["e_mod"], s["e_mod"])
+    if use_mod_q:
+        copy_torch_mlp(sd, "E_mix_Q", p["e_mix_q"], s["e_mix_q"])
+    if use_mod_k:
+        copy_torch_mlp(sd, "E_mix_K", p["e_mix_k"], s["e_mix_k"])
     p["q"]["kernel"] = t2j(sd["Q.weight"]).T
     p["q"]["bias"] = t2j(sd["Q.bias"])
     p["k"]["kernel"] = t2j(sd["K.weight"]).T
     p["k"]["bias"] = t2j(sd["K.bias"])
-    p["gating"]["weight"] = t2j(sd["G.weight"]).reshape(-1)
-    p["gating"]["bias"] = t2j(sd["G.bias"]).reshape(-1)
+    if gating:
+        p["gating"]["weight"] = t2j(sd["G.weight"]).reshape(-1)
+        p["gating"]["bias"] = t2j(sd["G.bias"]).reshape(-1)
 
     args = (jnp.asarray(x_main), jnp.asarray(x_mod), jnp.asarray(x_map),
             jnp.asarray(ids), None, len(ptr) - 1)
@@ -278,7 +300,54 @@ def test_qkv_view_pool_parity(rng, refp, train):
                                       mutable=["batch_stats"])
     else:
         mine, _ = mine_mod.apply(variables, *args, train=False)
-    np.testing.assert_allclose(_np(mine), ref, **TOL)
+    return _np(mine), ref
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_qkv_view_pool_parity(rng, refp, train):
+    mine, ref = _qkv_pool_pair(refp, rng, train)
+    np.testing.assert_allclose(mine, ref, **TOL)
+
+
+@pytest.mark.parametrize("train", [False, True])
+@pytest.mark.parametrize("use_mod_q,use_mod_k", [
+    (True, False),    # per-view queries mixed with values (ref :493-500)
+    (False, True),    # keys mixed with values (ref :486-490)
+    (True, True),
+])
+def test_qkv_use_mod_parity(rng, refp, train, use_mod_q, use_mod_k):
+    mine, ref = _qkv_pool_pair(refp, rng, train, use_mod_q=use_mod_q,
+                               use_mod_k=use_mod_k)
+    np.testing.assert_allclose(mine, ref, **TOL)
+
+
+def test_qkv_published_variant_parity(rng, refp):
+    """The XYZ-RGB-L4-late-QKV YAML shape: num_groups=4, group_scaling=True,
+    gating=True, DeepSetFeat use_num (sparseconv3d.yaml:5230-5310)."""
+    mine, ref = _qkv_pool_pair(refp, rng, False, groups=4,
+                               group_scaling=True)
+    np.testing.assert_allclose(mine, ref, **TOL)
+
+
+def test_qkv_modk_published_variant_parity(rng, refp):
+    """...-QKV-modk variant: use_mod_k=True + group_scaling=True."""
+    mine, ref = _qkv_pool_pair(refp, rng, False, use_mod_k=True,
+                               group_scaling=True)
+    np.testing.assert_allclose(mine, ref, **TOL)
+
+
+def test_qkv_nc_qk_parity(rng, refp):
+    """Non-default nc_qk head width threads through Q/K shapes."""
+    mine, ref = _qkv_pool_pair(refp, rng, False, nc_qk=4, groups=2)
+    np.testing.assert_allclose(mine, ref, **TOL)
+
+
+def test_qkv_group_not_dim_scaling_parity(rng, refp):
+    """The XYZ+RGB_a4-group_cat-1 shape: group_scaling on, dim_scaling OFF
+    (sparseconv3d.yaml Attentive entries set dim_scaling explicitly)."""
+    mine, ref = _qkv_pool_pair(refp, rng, False, group_scaling=True,
+                               dim_scaling=False)
+    np.testing.assert_allclose(mine, ref, **TOL)
 
 
 # -------------------------------------------------------------- fusion -----
