@@ -84,6 +84,11 @@ class BranchSpec:
     # reach the encoder upstream (one entry uses pool: min_max)
     pool_modes: Tuple[str, ...] = ("max",)
     pool_fusion: str = "concatenation"
+    # reference-exact scratch tower (tower='scratch_unet'): the compact
+    # (down, up, last) TowerCfg from deepviewagg_tpu.modules.scratch2d —
+    # pins the reference's own WS/GN/reflect-pad formulas instead of the
+    # TPU-first image_encoders towers
+    tower_cfg: Optional[Tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,11 +132,23 @@ class ModelSpec:
         return out
 
 
-def make_tower(name: str, norm: str = "group", deep_stem: bool = False):
+def make_tower(name: str, norm: str = "group", deep_stem: bool = False,
+               tower_cfg=None):
     """Tower registry -> (factory, out_channels).  Names follow the
     reference's encoder naming (truncation level / PPM variants,
     modalities/image.py).  The factory is passed to ``UnimodalBranch`` so the
     tower binds inside the branch's parameter scope."""
+    if name == "scratch_unet":
+        # reference-exact compact-format tower (modalities/image.py:510-627)
+        from ..modules.scratch2d import unetws_from_cfg
+
+        assert tower_cfg is not None, "scratch_unet needs BranchSpec.tower_cfg"
+        down, up, last = tower_cfg
+        out = last if last is not None else (
+            up[-1][2] if up else down[-1][1])
+        fac = functools.partial(unetws_from_cfg, tower_cfg, norm=norm,
+                                name="tower")
+        return fac, int(out)
     if name is None:
         # tower-less branch: gather/pool raw image channels (the reference's
         # no-encoder debug path); channel count comes from the images at
@@ -259,7 +276,8 @@ class MultimodalSeg(nn.Module):
                     images_in = taps[int(spec.tower[7:])]
                 else:
                     tower, c2 = make_tower(spec.tower, spec.tower_norm,
-                                           spec.tower_deep_stem)
+                                           spec.tower_deep_stem,
+                                           tower_cfg=spec.tower_cfg)
                 mm = batch["mappings"][level]
                 if "buckets" in mm:
                     # crop-group families (Bucket.image_ladder collate path)
@@ -374,7 +392,8 @@ class No3DSeg(nn.Module):
         # entries: five truncations, pooled features CONCAT before the head)
         for k, (level, bspec) in enumerate(self.spec.branches):
             tower, c2 = make_tower(bspec.tower, bspec.tower_norm,
-                                   bspec.tower_deep_stem)
+                                   bspec.tower_deep_stem,
+                                   tower_cfg=bspec.tower_cfg)
             branch = UnimodalBranch(
                 tower=tower, out_channels=bspec.out_channels,
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
@@ -400,10 +419,12 @@ class No3DSeg(nn.Module):
                 extras = ex_k
         pooled = (pooled_all[0] if len(pooled_all) == 1
                   else jnp.concatenate(pooled_all, axis=-1))
-        bspec = self.spec.branches[0][1]
-        mlp1 = nn.Dense(bspec.out_channels, name="mlp1")
+        # bare linear head on the fused features — the reference's
+        # No3DFeatureFusion head is Sequential(Linear(output_nc, classes))
+        # with NO hidden MLP (no3d.py:36-38); multi-branch entries reach it
+        # through the modality+concatenation fusion chain (= this concat)
         head = nn.Dense(self.spec.num_classes, name="head")
-        logits = head(nn.relu(mlp1(pooled)))
+        logits = head(pooled)
         out = {"logits": logits, "x_seen": x_seen, "view_extras": extras}
         # per-view logits through the SAME head — the reference's view-level
         # loss scores each view against its point's label before pooling
@@ -412,7 +433,7 @@ class No3DSeg(nn.Module):
         # incl. the published light model); attention pools save the
         # PRE-projection tower features, which the shared head cannot score.
         if extras and extras["x_view"].shape[-1] == pooled.shape[-1]:
-            out["view_logits"] = head(nn.relu(mlp1(extras["x_view"])))
+            out["view_logits"] = head(extras["x_view"])
         return out
 
 
@@ -445,7 +466,8 @@ class LateFusionSeg(nn.Module):
         # pools independently; 'feature' mode concats, 'logit' mode sums
         for k, (_, bspec) in enumerate(self.spec.branches):
             tower, _ = make_tower(bspec.tower, bspec.tower_norm,
-                                  bspec.tower_deep_stem)
+                                  bspec.tower_deep_stem,
+                                  tower_cfg=bspec.tower_cfg)
             branch = UnimodalBranch(
                 tower=tower, out_channels=bspec.out_channels,
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,

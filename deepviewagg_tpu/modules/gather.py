@@ -54,6 +54,10 @@ def gather_pixel_features(
     resolution — scaling follows the reference's ``get_mapped_features``
     convention (image.py:1279-1283 + sparse_interpolation:142-146):
     ``coords = x / (W - 1)`` then ``xf = coords * Wf - 0.5`` in map space.
+
+    At scale 1 the reference indexes pixels EXACTLY even when interpolation
+    is on (``if interpolate and scale != 1``, image.py:1278-1284) — matched
+    here, which also skips the 4-tap gather when resolutions agree.
     """
     i_cap, wf, hf, _ = feature_maps.shape
     w, h = ref_size
@@ -64,6 +68,8 @@ def gather_pixel_features(
     img_id = jnp.clip(img_id, 0, i_cap - 1)
     sx = wf / w
     sy = hf / h
+    if interpolate and (wf, hf) == (w, h):
+        interpolate = False
     if interpolate:
         xf = mapping["pix_x"].astype(jnp.float32) / max(w - 1, 1) * wf - 0.5
         yf = mapping["pix_y"].astype(jnp.float32) / max(h - 1, 1) * hf - 0.5

@@ -580,30 +580,33 @@ def load_reference_image_modality():
 
 
 # ------------------------------------- scratch 2D tower transplants --------
-def conv_t2j(t):
-    """torch Conv2d weight [out, in, kh, kw] -> flax HWIO."""
-    return t2j(t.permute(2, 3, 1, 0))
+def conv_t2j(t, wh=False):
+    """torch Conv2d weight [out, in, kh, kw] -> flax HWIO.  ``wh=True``
+    swaps the spatial axes to WHIO for the repo's [N, W, H, C] image
+    convention (same swap as utils/torch_convert._conv)."""
+    return t2j(t.permute(3, 2, 1, 0) if wh else t.permute(2, 3, 1, 0))
 
 
-def tconv_t2j(t):
+def tconv_t2j(t, wh=False):
     """torch ConvTranspose2d weight [in, out, kh, kw] -> the repo's stored
-    forward view [kh, kw, in, out] (WSConvTranspose2d flips at use)."""
-    return t2j(t.permute(2, 3, 0, 1))
+    forward view [kh, kw, in, out] (WSConvTranspose2d flips at use);
+    ``wh=True`` gives [kw, kh, in, out] for [N, W, H, C] inputs."""
+    return t2j(t.permute(3, 2, 0, 1) if wh else t.permute(2, 3, 0, 1))
 
 
-def copy_scratch_resblock(sd, prefix, tree, transpose=False):
+def copy_scratch_resblock(sd, prefix, tree, transpose=False, wh=False):
     """Reference ``ResBlock`` state_dict -> repo ``RefResBlock`` params.
     block Seq layout: 0 conv1 / 1 norm1 / 2 act / 3 conv2 / 4 norm2 / 5 act;
     shortcut: downsample.0 conv + downsample.1 norm (image.py:152-181)."""
     pre = f"{prefix}." if prefix else ""
     cv = tconv_t2j if transpose else conv_t2j
     for i, (c, n) in enumerate([("conv1", "norm1"), ("conv2", "norm2")]):
-        tree[c]["kernel"] = cv(sd[f"{pre}block.{3 * i}.weight"])
+        tree[c]["kernel"] = cv(sd[f"{pre}block.{3 * i}.weight"], wh)
         tree[c]["bias"] = t2j(sd[f"{pre}block.{3 * i}.bias"])
         _copy_gn(sd, f"{pre}block.{3 * i + 1}", tree[n])
     if f"{pre}downsample.0.weight" in sd:
         tree["down_conv"]["kernel"] = conv_t2j(
-            sd[f"{pre}downsample.0.weight"])
+            sd[f"{pre}downsample.0.weight"], wh)
         tree["down_conv"]["bias"] = t2j(sd[f"{pre}downsample.0.bias"])
         _copy_gn(sd, f"{pre}downsample.1", tree["down_norm"])
 
@@ -613,31 +616,34 @@ def _copy_gn(sd, prefix, tree):
     tree["GroupNorm_0"]["bias"] = t2j(sd[f"{prefix}.bias"])
 
 
-def copy_scratch_stage(sd, prefix, tree, transpose=False, n_blocks=0):
+def copy_scratch_stage(sd, prefix, tree, transpose=False, n_blocks=0,
+                       wh=False):
     """Reference ``ResNetDown``/``ResNetUp`` -> repo ``ResNetDown2D``/
     ``ResNetUp2D``: conv_in Seq (0 conv / 1 norm / 2 act) + blocks.{j}."""
     pre = f"{prefix}." if prefix else ""
     cv = tconv_t2j if transpose else conv_t2j
-    tree["conv_in"]["kernel"] = cv(sd[f"{pre}conv_in.0.weight"])
+    tree["conv_in"]["kernel"] = cv(sd[f"{pre}conv_in.0.weight"], wh)
     tree["conv_in"]["bias"] = t2j(sd[f"{pre}conv_in.0.bias"])
     _copy_gn(sd, f"{pre}conv_in.1", tree["norm_in"])
     for j in range(n_blocks):
         copy_scratch_resblock(sd, f"{pre}blocks.{j}",
-                              tree[f"block{j}"], transpose=transpose)
+                              tree[f"block{j}"], transpose=transpose, wh=wh)
 
 
 def copy_scratch_unet(sd, tree, down_blocks, up_blocks, has_last=True,
                       down_prefix="down_modules", up_prefix="up_modules",
-                      last_prefix="last"):
+                      last_prefix="last", wh=False):
     """A reference compact-format UNet tower (down ResNetDowns + up
-    ResNetUps + UnaryConv last, image.py:546-572) -> repo ``UNetWS``."""
+    ResNetUps + UnaryConv last, image.py:546-572) -> repo ``UNetWS``.
+    ``wh=True`` transplants for the repo's [N, W, H, C] image convention
+    (in-branch towers); default HWIO suits standalone NHWC parity tests."""
     for i, nb in enumerate(down_blocks):
         copy_scratch_stage(sd, f"{down_prefix}.{i}", tree[f"down{i}"],
-                           transpose=False, n_blocks=nb)
+                           transpose=False, n_blocks=nb, wh=wh)
     for i, nb in enumerate(up_blocks):
         copy_scratch_stage(sd, f"{up_prefix}.{i}", tree[f"up{i}"],
-                           transpose=True, n_blocks=nb)
+                           transpose=True, n_blocks=nb, wh=wh)
     if has_last:
         tree["last"]["conv"]["kernel"] = conv_t2j(
-            sd[f"{last_prefix}.conv.weight"])
+            sd[f"{last_prefix}.conv.weight"], wh)
         tree["last"]["conv"]["bias"] = t2j(sd[f"{last_prefix}.conv.bias"])

@@ -367,11 +367,14 @@ def test_bimodal_fusion_parity(rng, reff, mode):
 
 
 # ------------------------------------------------- bilinear gather ---------
-@pytest.mark.parametrize("scale", [1, 2, 4])
+@pytest.mark.parametrize("scale", [2, 4])
 def test_sparse_interpolation_parity(rng, scale):
     """gather_pixel_features(interpolate=True) vs the reference's
     sparse_interpolation + get_mapped_features coord convention
-    (core/multimodal/image.py:105-170,1279-1283)."""
+    (core/multimodal/image.py:105-170,1279-1283).  Scale 1 is NOT a
+    sparse_interpolation case: the reference's ``interpolate and scale != 1``
+    guard (image.py:1278) indexes exactly there — covered by
+    test_gather_scale1_exact below."""
     from reference_shims import load_reference_function
 
     sparse_interpolation = load_reference_function(
@@ -406,3 +409,26 @@ def test_sparse_interpolation_parity(rng, scale):
     }
     mine = _np(gather_pixel_features(maps, mapping, (W, H), interpolate=True))
     np.testing.assert_allclose(mine, ref, **TOL)
+
+
+def test_gather_scale1_exact(rng):
+    """At scale 1 the reference bypasses interpolation entirely
+    (``if interpolate and scale != 1``, image.py:1278): gathered features
+    must equal exact pixel lookup bit-for-bit."""
+    from deepviewagg_tpu.modules.gather import gather_pixel_features
+
+    W, H, n_img, C, P = 32, 24, 3, 5, 64
+    maps = jnp.asarray(rng.normal(size=(n_img, W, H, C)).astype(np.float32))
+    px = rng.integers(0, W, P)
+    py = rng.integers(0, H, P)
+    img = rng.integers(0, n_img, P)
+    mapping = {
+        "view_valid": jnp.ones(P, bool),
+        "image_id": jnp.asarray(img.astype(np.int32)),
+        "pix_view": jnp.arange(P, dtype=jnp.int32),
+        "pix_x": jnp.asarray(px.astype(np.int32)),
+        "pix_y": jnp.asarray(py.astype(np.int32)),
+        "pix_valid": jnp.ones(P, bool),
+    }
+    mine = _np(gather_pixel_features(maps, mapping, (W, H), interpolate=True))
+    np.testing.assert_array_equal(mine, _np(maps)[img, px, py])
