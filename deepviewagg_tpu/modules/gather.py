@@ -9,6 +9,12 @@ its two modes:
     maps, the '-interpolate' flagship configs.
 
 Pure gathers + lerps: XLA fuses these into the surrounding branch compute.
+
+All taps index a FLATTENED ``[I*Wf*Hf, C]`` view with one precombined int32
+row index instead of three index vectors: XLA's TPU gather runs ~1.5x
+faster on a single trailing-dim-contiguous index (measured 31 -> 21 ms
+fwd+bwd on the 931k-pixel recipe bucket, PERF.md round 4), and the
+backward scatter-add inherits the same layout.
 """
 
 from __future__ import annotations
@@ -26,13 +32,15 @@ def _bilinear(maps, img_id, xf, yf):
     out-of-range taps clamp to the edge pixel while the bilinear weights keep
     their unclamped distances."""
     _, w, h, _ = maps.shape
+    flat = maps.reshape(-1, maps.shape[-1])
+    base = img_id * (w * h)
     x0 = jnp.floor(xf).astype(jnp.int32)
     y0 = jnp.floor(yf).astype(jnp.int32)
     tx = (xf - x0)[:, None]
     ty = (yf - y0)[:, None]
 
     def tap(xi, yi):
-        return maps[img_id, jnp.clip(xi, 0, w - 1), jnp.clip(yi, 0, h - 1)]
+        return flat[base + jnp.clip(xi, 0, w - 1) * h + jnp.clip(yi, 0, h - 1)]
 
     return (
         tap(x0, y0) * (1 - tx) * (1 - ty)
@@ -77,5 +85,6 @@ def gather_pixel_features(
     else:
         xi = jnp.clip((mapping["pix_x"].astype(jnp.float32) * sx).astype(jnp.int32), 0, wf - 1)
         yi = jnp.clip((mapping["pix_y"].astype(jnp.float32) * sy).astype(jnp.int32), 0, hf - 1)
-        out = feature_maps[img_id, xi, yi]
+        flat = feature_maps.reshape(-1, feature_maps.shape[-1])
+        out = flat[img_id * (wf * hf) + xi * hf + yi]
     return out * mapping["pix_valid"][:, None].astype(out.dtype)

@@ -112,11 +112,22 @@ class MultiBucketBranch(nn.Module):
         """Bilinear sample at pixel coords with a per-pixel image index —
         same convention as :func:`modules.gather.gather_pixel_features`
         (ref sparse_interpolation, image.py:105-170: coords / (size - 1),
-        scale by the feature-map size, border padding)."""
-        _, wf, hf, _ = feature_maps.shape
+        scale by the feature-map size, border padding; EXACT indexing at
+        scale 1 per the reference's ``interpolate and scale != 1`` guard).
+
+        Flat-index taps on a ``[I*Wf*Hf, C]`` view — single int32 index
+        vector, ~1.5x faster gather + backward scatter (PERF.md round 4)."""
+        i_cap, wf, hf, _ = feature_maps.shape
         w, h = ref_size
-        img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0,
-                          feature_maps.shape[0] - 1)
+        img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0, i_cap - 1)
+        flat = feature_maps.reshape(-1, feature_maps.shape[-1])
+        base = img_id * (wf * hf)
+        if (wf, hf) == (w, h):
+            idx = base + jnp.asarray(bucket["pix_x"]) * hf \
+                + jnp.asarray(bucket["pix_y"])
+            out = flat[idx]
+            return out * jnp.asarray(
+                bucket["pix_valid"])[:, None].astype(out.dtype)
         xf = jnp.asarray(bucket["pix_x"], jnp.float32) / max(w - 1, 1) * wf - 0.5
         yf = jnp.asarray(bucket["pix_y"], jnp.float32) / max(h - 1, 1) * hf - 0.5
         x0 = jnp.floor(xf).astype(jnp.int32)
@@ -125,8 +136,8 @@ class MultiBucketBranch(nn.Module):
         ty = (yf - y0)[:, None]
 
         def tap(xi, yi):
-            return feature_maps[img_id, jnp.clip(xi, 0, wf - 1),
-                                jnp.clip(yi, 0, hf - 1)]
+            return flat[base + jnp.clip(xi, 0, wf - 1) * hf
+                        + jnp.clip(yi, 0, hf - 1)]
 
         out = (tap(x0, y0) * (1 - tx) * (1 - ty)
                + tap(x0 + 1, y0) * tx * (1 - ty)
