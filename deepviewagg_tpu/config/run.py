@@ -34,10 +34,18 @@ class ModelCfg:
 @dataclasses.dataclass
 class DataCfg:
     dataset: str = "synthetic"
+    # ingest a published reference data YAML verbatim (e.g.
+    # ref=s3disfused-sparse): its resolution / credits / transform-chain
+    # parameters are merged into this section before CLI overrides
+    # (config/reference_ingest.load_data_cfg)
+    ref: Optional[str] = None
     root: str = "/tmp/dva_data"
     voxel_size: float = 0.05
     radius: float = 2.0
     image_slots: int = 4
+    # the reference evaluates under its own pixel budget (test_pixel_credit,
+    # s3disfused-sparse.yaml:109); None = same as image_slots
+    eval_image_slots: Optional[int] = None
     samples_per_epoch: int = 2000
     batch_size: int = 4
     num_classes: int = 4
@@ -149,4 +157,33 @@ def load_run_config(path: Optional[str] = None,
     if path:
         with open(path) as f:
             _merge(cfg, yaml.safe_load(f) or {})
-    return apply_overrides(cfg, overrides or [])
+    cfg = apply_overrides(cfg, overrides or [])
+    if cfg.data.ref:
+        _apply_data_ref(cfg)
+        # CLI overrides win over the ingested values too
+        cfg = apply_overrides(cfg, [o for o in (overrides or [])
+                                    if o.split("=", 1)[0].startswith("data.")])
+    return cfg
+
+
+def _apply_data_ref(cfg: RunConfig) -> None:
+    """Merge a published reference data YAML (``data.ref=<name>``) into the
+    data section — resolution, pixel credits, and the transform-chain
+    parameterization (mapping_params / aug_params under ``data.kwargs``)."""
+    import os
+
+    from .reference_ingest import load_data_cfg
+
+    name = cfg.data.ref
+    base = os.environ.get(
+        "DVA_REFERENCE_DATA_CONF",
+        "/root/reference/conf/data/segmentation/multimodal")
+    path = name if os.path.exists(name) else os.path.join(
+        base, name if name.endswith(".yaml") else f"{name}.yaml")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"data.ref '{name}' not found at {path}")
+    ingested = load_data_cfg(path)
+    kw = ingested.pop("kwargs", {})
+    for k, v in ingested.items():
+        setattr(cfg.data, k, v)
+    cfg.data.kwargs = {**kw, **cfg.data.kwargs}

@@ -26,7 +26,61 @@ from ..collate import Bucket, Sample, collate
 from ..mapping import MultiViewMapping
 from .. import transforms2d, transforms3d
 
-__all__ = ["AreaCache", "SphereDataset", "BatchLoader", "save_area", "load_area"]
+__all__ = ["AreaCache", "SphereDataset", "BatchLoader", "save_area",
+           "load_area", "dataset_aug_kwargs", "build_augment"]
+
+
+def dataset_aug_kwargs(aug_params: Optional[Dict], train: bool) -> Dict:
+    """Ingested ``aug_params`` (reference_ingest.load_data_cfg) ->
+    :class:`SphereDataset` field overrides.
+
+    Selection/roll knobs apply to train AND eval (the reference's
+    test_transforms run CenterRoll / PickImagesFromMappingArea /
+    PickImagesFromMemoryCredit too, s3disfused-sparse.yaml:172-186);
+    stochastic augmentations are train-only."""
+    ap = aug_params or {}
+    out: Dict = {}
+    for src, dst in (("k_coverage", "k_coverage"),
+                     ("roll_angular_res", "roll_angular_res"),
+                     ("use_bbox", "use_bbox_area_pick"),
+                     ("center_roll", "center_roll")):
+        if src in ap:
+            out[dst] = ap[src]
+    if train:
+        for src, dst in (("jitter_mapping", "jitter_mapping"),
+                         ("jitter_clip", "jitter_clip"),
+                         ("flip_p", "flip_p")):
+            if src in ap:
+                out[dst] = ap[src]
+        if "color_jitter" in ap:
+            out["color_jitter"] = tuple(ap["color_jitter"])
+    return out
+
+
+def build_augment(aug_params: Optional[Dict],
+                  default: Optional[transforms3d.Compose]):
+    """Ingested 3D augmentation params -> a transform chain; falls back to
+    the dataset's published default chain when no params were ingested."""
+    ap = aug_params or {}
+    if not any(k in ap for k in ("noise_sigma", "rotate_axis", "scales",
+                                 "symmetry_axes")):
+        return default
+    tfs: List = []
+    if ap.get("noise_sigma"):
+        tfs.append(transforms3d.RandomNoise(sigma=ap["noise_sigma"]))
+    axis = {0: "x", 1: "y", 2: "z"}.get(int(ap.get("rotate_axis", 2)), "z")
+    degrees = ap.get("rotate_degrees")
+    # the reference's degrees=180 means uniform in [-180, 180] — a full
+    # circle, the RandomRotate(degrees=None) default
+    tfs.append(transforms3d.RandomRotate(
+        axis=axis,
+        degrees=None if degrees in (None, 180, 180.0) else degrees))
+    if "scales" in ap:
+        lo, hi = ap["scales"][0], ap["scales"][-1]
+        tfs.append(transforms3d.RandomScaleAnisotropic(lo, hi))
+    if "symmetry_axes" in ap:
+        tfs.append(transforms3d.RandomSymmetry(tuple(ap["symmetry_axes"])))
+    return transforms3d.Compose(tfs)
 
 
 def _images_sidecar(path: str) -> str:
@@ -136,8 +190,12 @@ class SphereDataset:
     seed: int = 0
     select_shape: str = "sphere"             # 'sphere' | 'cylinder'
     center_roll: bool = False                # equirect roll centering
+    roll_angular_res: int = 16               # CenterRoll angular_res
     flip_p: float = 0.0                      # horizontal flip probability
     jitter_mapping: float = 0.0              # view-feature jitter sigma
+    jitter_clip: float = 0.03                # jitter noise clamp (ref :934)
+    k_coverage: float = 2.0                  # PickImagesFromMemoryCredit
+    use_bbox_area_pick: bool = False         # PickImagesFromMappingArea
     # radiometric augmentation (ref ColorJitter in every flagship recipe,
     # s3disfused-sparse.yaml:162: brightness/contrast/saturation)
     color_jitter: Optional[Sequence[float]] = None
@@ -226,15 +284,18 @@ class SphereDataset:
             self._warned_normalized_cache = True
         if sub.get("mapping") is not None:
             sub = transforms2d.pick_images_by_area(
-                sub, min_points=self.min_points_per_image
+                sub, min_points=self.min_points_per_image,
+                use_bbox=self.use_bbox_area_pick,
             )
             if self.center_roll and sub.get("images") is not None:
                 # panoramas: circular-roll so mapped pixels center (enables
                 # tight crop-ladder buckets, §A.7)
-                sub = transforms2d.center_roll(sub)
+                sub = transforms2d.center_roll(
+                    sub, angular_res=self.roll_angular_res)
             if self.train:
                 sub = transforms2d.pick_images_by_credit(
-                    sub, n_slots=self.image_slots, rng=self._rng
+                    sub, n_slots=self.image_slots,
+                    k_coverage=self.k_coverage, rng=self._rng
                 )
                 if self.flip_p > 0:
                     sub = transforms2d.random_horizontal_flip(
@@ -242,7 +303,8 @@ class SphereDataset:
                     )
                 if self.jitter_mapping > 0:
                     sub = transforms2d.jitter_mapping_features(
-                        sub, sigma=self.jitter_mapping, rng=self._rng
+                        sub, sigma=self.jitter_mapping,
+                        clip=self.jitter_clip, rng=self._rng
                     )
                 if (self.color_jitter is not None and radiometric_ok
                         and sub.get("images") is not None):

@@ -146,7 +146,8 @@ def read_imu_poses(path: str) -> dict:
 
 def fisheye_cameras(root: str, seq: str, start: int, end: int,
                     image_size=FISHEYE_SIZE, frame_step: int = 10,
-                    cam_ids=(2, 3)) -> List[dict]:
+                    cam_ids=(2, 3), r_min: float = R_MIN,
+                    r_max: float = R_MAX) -> List[dict]:
     """MEI fisheye cam2/cam3: cam->world = IMU_pose @ cam_to_pose
     (multimodal/kitti360.py:120-188; our projection implements the correct
     CPU semantics, SURVEY.md §A.10.1)."""
@@ -180,7 +181,7 @@ def fisheye_cameras(root: str, seq: str, start: int, end: int,
                 "camera": Camera(
                     model="kitti360_fisheye", size=tuple(image_size),
                     extrinsic=poses[frame] @ c2p, fisheye=fe,
-                    r_min=R_MIN, r_max=R_MAX,
+                    r_min=r_min, r_max=r_max,
                 ),
             })
     return out
@@ -207,6 +208,7 @@ def load_window_cloud(path: str):
 def window_cameras(
     root: str, seq: str, start: int, end: int,
     image_size=None, frame_step: int = 10, cam_ids=(0,),
+    r_min: float = R_MIN, r_max: float = R_MAX,
 ) -> List[dict]:
     """Posed cameras whose frames fall inside the window's frame range.
 
@@ -248,7 +250,7 @@ def window_cameras(
                 "camera": Camera(
                     model="kitti360_perspective", size=tuple(image_size),
                     extrinsic=poses[frame], intrinsic=k,
-                    r_min=R_MIN, r_max=R_MAX,
+                    r_min=r_min, r_max=r_max,
                 ),
             })
     return out
@@ -283,6 +285,9 @@ def preprocess_kitti360_window(
     image_size=(704, 188), fisheye_size=(350, 350), frame_step: int = 10,
     max_images: Optional[int] = 30,
     use_fisheye: bool = True,
+    exact_splatting: bool = False,
+    r_max: float = R_MAX, r_min: float = R_MIN,
+    k_swell: float = 1.0, n_sample: int = 5, nbf_k: int = 50,
 ) -> str:
     """Window preprocess with per-camera-family image buckets.
 
@@ -306,20 +311,23 @@ def preprocess_kitti360_window(
     from ...ops import voxel as _voxel
 
     g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
-    geo = pca_features(g["pos"], k=50)
-    cams_meta = window_cameras(root, seq, start, end, image_size, frame_step)
+    geo = pca_features(g["pos"], k=nbf_k)
+    cams_meta = window_cameras(root, seq, start, end, image_size, frame_step,
+                               r_min=r_min, r_max=r_max)
     families = [0] * len(cams_meta)
     family_sizes = [tuple(image_size)]
     if use_fisheye:
         fmeta = fisheye_cameras(root, seq, start, end, fisheye_size,
-                                frame_step)
+                                frame_step, r_min=r_min, r_max=r_max)
         cams_meta += fmeta
         families += [1] * len(fmeta)
         family_sizes.append(tuple(fisheye_size))
     families = np.asarray(families, np.int64)
     cams = [c["camera"] for c in cams_meta]
     mapping = build_mappings(
-        g["pos"], cams, VisibilityParams(voxel=voxel_size, exact=False),
+        g["pos"], cams,
+        VisibilityParams(voxel=voxel_size, exact=exact_splatting,
+                         k_swell=k_swell),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
     # greedy max-coverage selection over the full mapping, then load only
@@ -336,7 +344,8 @@ def preprocess_kitti360_window(
         w, h = family_sizes[families[i]]
         images[i, :w, :h] = _load_image(c["path"], (w, h))
 
-    mapping = _family_non_static(mapping, images, families)
+    mapping = _family_non_static(mapping, images, families,
+                                 n_sample=n_sample)
     save_area(out_path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "origin_id": np.arange(len(g["pos"]), dtype=np.int64),
@@ -361,9 +370,24 @@ def make_kitti360_dataset(
     root: str, train: bool = True, radius: float = 6.0,
     voxel_size: float = 0.05, image_slots: int = 4,
     samples_per_epoch: int = 2000, cache_dir: Optional[str] = None,
-    sequences: Optional[List[str]] = None, **preprocess_kw,
+    sequences: Optional[List[str]] = None,
+    mapping_params: Optional[dict] = None, aug_params: Optional[dict] = None,
+    **preprocess_kw,
 ) -> CylinderDataset:
+    """``mapping_params`` / ``aug_params``: the ingested reference
+    data-YAML transform chain (see make_s3dis_dataset) — kitti360-sparse
+    sets image_r_max=20, image_k_swell=1.5, exact splatting, jitter
+    sigma=0.003/clip=0.01 and 0.2/0.2/0.2 ColorJitter."""
     cache_dir = cache_dir or os.path.join(root, "processed_dva")
+    mp = dict(mapping_params or {})
+    for drop in ("crop_padding", "proj_upscale", "density", "occlusion"):
+        mp.pop(drop, None)
+    if "exact" in mp:
+        preprocess_kw.setdefault("exact_splatting", mp.pop("exact"))
+    preprocess_kw.update(mp)
+    from .base import build_augment, dataset_aug_kwargs
+
+    ds_kw = dataset_aug_kwargs(aug_params, train)
     use_fisheye = preprocess_kw.setdefault("use_fisheye", True)
     image_size = tuple(preprocess_kw.get("image_size", (704, 188)))
     fisheye_size = tuple(preprocess_kw.get("fisheye_size", (350, 350)))
@@ -406,12 +430,17 @@ def make_kitti360_dataset(
     return CylinderDataset(
         areas=AreaCache(paths, max_loaded=3),
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
-        train=train, augment=default_augment() if train else None,
+        train=train,
+        augment=build_augment(aug_params,
+                              default_augment()) if train else None,
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
-        # kitti360-sparse.yaml:135 radiometric augmentation
-        color_jitter=(0.6, 0.6, 0.7) if train else None,
         # pinhole + native-aspect fisheye camera-family buckets
         image_families=([image_size, fisheye_size] if use_fisheye else None),
+        **{
+            # kitti360-sparse.yaml:135-140 radiometric augmentation
+            "color_jitter": (0.2, 0.2, 0.2) if train else None,
+            **ds_kw,
+        },
     )
 
 

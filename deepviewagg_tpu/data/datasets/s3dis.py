@@ -91,7 +91,8 @@ def _load_image(path: str, size) -> np.ndarray:
     return np.asarray(img, np.uint8).transpose(1, 0, 2)
 
 
-def area_cameras(area_dir: str, image_size=IMG_SIZE) -> List[dict]:
+def area_cameras(area_dir: str, image_size=IMG_SIZE,
+                 r_min: float = R_MIN, r_max: float = R_MAX) -> List[dict]:
     """All posed panoramas of an area: list of {path, camera}."""
     out = []
     for pose_path in sorted(
@@ -107,7 +108,7 @@ def area_cameras(area_dir: str, image_size=IMG_SIZE) -> List[dict]:
             "path": rgb,
             "camera": Camera(
                 model="s3dis_equirectangular", size=tuple(image_size),
-                pos=pos, opk=opk, r_min=R_MIN, r_max=R_MAX,
+                pos=pos, opk=opk, r_min=r_min, r_max=r_max,
             ),
         })
     return out
@@ -136,6 +137,8 @@ def preprocess_s3dis_area(
     max_images: Optional[int] = None,
     exact_splatting: bool = True,
     keep_raw: bool = False,
+    r_max: float = R_MAX, r_min: float = R_MIN,
+    k_swell: float = 1.0, n_sample: int = 5, nbf_k: int = 50,
 ) -> str:
     """One-time preprocess of one area -> cache .npz (SURVEY.md §3.4).
 
@@ -167,9 +170,9 @@ def preprocess_s3dis_area(
     from ...ops import voxel as _voxel
 
     g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
-    geo = pca_features(g["pos"], k=50)
+    geo = pca_features(g["pos"], k=nbf_k)
 
-    cams_meta = area_cameras(area_dir, image_size)
+    cams_meta = area_cameras(area_dir, image_size, r_min=r_min, r_max=r_max)
     cams = [c["camera"] for c in cams_meta]
     # mappings are built for EVERY camera; max_images then keeps a greedy
     # max-coverage subset (the reference selects by mapping area / pixel
@@ -178,7 +181,7 @@ def preprocess_s3dis_area(
     mapping = build_mappings(
         g["pos"], cams,
         VisibilityParams(voxel=voxel_size, exact=exact_splatting,
-                         k_swell=1.0, d_swell=1000.0),
+                         k_swell=k_swell, d_swell=1000.0),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
     if max_images and mapping.num_images > max_images:
@@ -187,7 +190,7 @@ def preprocess_s3dis_area(
         cams_meta = [cams_meta[i] for i in keep]
     # only the selected images are ever read from disk, as uint8
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
-    mapping = _apply_non_static_mask(mapping, images)
+    mapping = _apply_non_static_mask(mapping, images, n_sample=n_sample)
     payload = {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
@@ -219,11 +222,28 @@ def make_s3dis_dataset(
     root: str, train: bool = True, fold: int = 5, radius: float = 2.0,
     voxel_size: float = 0.05, image_slots: int = 4,
     samples_per_epoch: int = 2000, cache_dir: Optional[str] = None,
+    mapping_params: Optional[dict] = None, aug_params: Optional[dict] = None,
     **preprocess_kw,
 ) -> SphereDataset:
     """Train on all areas except ``fold``; eval on area ``fold``
-    (the 6-fold protocol, scripts/train_s3dis.sh)."""
+    (the 6-fold protocol, scripts/train_s3dis.sh).
+
+    ``mapping_params`` / ``aug_params`` carry the reference data YAML's
+    transform-chain parameterization when training via ``data.ref``
+    (config/reference_ingest.load_data_cfg): MapImages r_max/r_min/k_swell/
+    exact, NonStaticMask n_sample, NeighborhoodBasedMappingFeatures k at
+    preprocess time; jitter/color/flip/roll/credit knobs at runtime."""
     cache_dir = cache_dir or os.path.join(root, "processed_dva")
+    mp = dict(mapping_params or {})
+    mp.pop("crop_padding", None)   # consumed by the collate crop ladder
+    mp.pop("proj_upscale", None)   # repo z-buffers at native resolution
+    mp.pop("density", None), mp.pop("occlusion", None)  # always computed
+    if "exact" in mp:
+        preprocess_kw.setdefault("exact_splatting", mp.pop("exact"))
+    preprocess_kw.update(mp)
+    from .base import build_augment, dataset_aug_kwargs
+
+    ds_kw = dataset_aug_kwargs(aug_params, train)
     areas = [
         a for a in range(1, 7)
         if (a != fold) == train
@@ -242,13 +262,18 @@ def make_s3dis_dataset(
     ds = SphereDataset(
         areas=AreaCache(paths, max_loaded=2),
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
-        train=train, augment=default_augment() if train else None,
+        train=train,
+        augment=build_augment(aug_params,
+                              default_augment()) if train else None,
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
-        center_roll=True,               # equirectangular panoramas (§A.7)
-        flip_p=0.5 if train else 0.0,
-        jitter_mapping=0.02 if train else 0.0,
-        # the flagship recipe's radiometric augmentation
-        # (s3disfused-sparse.yaml:162)
-        color_jitter=(0.6, 0.6, 0.7) if train else None,
+        **{
+            # the published recipe's defaults (s3disfused-sparse.yaml:
+            # 144-170), overridden by ingested aug_params
+            "center_roll": True,        # equirectangular panoramas (§A.7)
+            "flip_p": 0.5 if train else 0.0,
+            "jitter_mapping": 0.02 if train else 0.0,
+            "color_jitter": (0.6, 0.6, 0.7) if train else None,
+            **ds_kw,
+        },
     )
     return ds

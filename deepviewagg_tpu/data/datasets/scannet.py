@@ -70,7 +70,8 @@ def load_scan_cloud(scan_dir: str):
     return pos, rgb, labels.astype(np.int32)
 
 
-def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20):
+def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20,
+                 r_min: float = R_MIN, r_max: float = R_MAX):
     """Every ``frame_step``-th exported frame (the reference subsamples the
     video stream the same way).  The color intrinsics are defined at the
     native export resolution — rescale them to ``image_size`` (read from the
@@ -108,7 +109,7 @@ def scan_cameras(scan_dir: str, image_size=IMG_SIZE, frame_step: int = 20):
             "camera": Camera(
                 model="scannet", size=tuple(image_size),
                 extrinsic=cam_to_world, intrinsic=k,
-                r_min=R_MIN, r_max=R_MAX,
+                r_min=r_min, r_max=r_max,
             ),
         })
     return out
@@ -118,6 +119,9 @@ def preprocess_scannet_scan(
     scan_dir: str, out_dir: str, voxel_size: float = 0.05,
     image_size=(320, 240), frame_step: int = 20,
     max_images: Optional[int] = 40,
+    exact_splatting: bool = False,
+    r_max: float = R_MAX, r_min: float = R_MIN,
+    k_swell: float = 1.0, n_sample: int = 5, nbf_k: int = 50,
 ) -> str:
     os.makedirs(out_dir, exist_ok=True)
     scan = os.path.basename(scan_dir.rstrip("/"))
@@ -129,12 +133,14 @@ def preprocess_scannet_scan(
     from ...ops import voxel as _voxel
 
     g = _voxel.grid_sample(pos, voxel_size, feats=rgb, labels=labels)
-    geo = pca_features(g["pos"], k=50)
-    cams_meta = scan_cameras(scan_dir, image_size, frame_step)
+    geo = pca_features(g["pos"], k=nbf_k)
+    cams_meta = scan_cameras(scan_dir, image_size, frame_step,
+                             r_min=r_min, r_max=r_max)
     cams = [c["camera"] for c in cams_meta]
     mapping = build_mappings(
         g["pos"], cams,
-        VisibilityParams(voxel=voxel_size, exact=False),
+        VisibilityParams(voxel=voxel_size, exact=exact_splatting,
+                         k_swell=k_swell),
         geometric=geo, nn_idx=geo["nn_idx"],
     )
     # greedy max-coverage selection over the full mapping, then load only
@@ -146,7 +152,7 @@ def preprocess_scannet_scan(
     images = np.stack([_load_image(c["path"], image_size) for c in cams_meta])
     from .s3dis import _apply_non_static_mask
 
-    mapping = _apply_non_static_mask(mapping, images)
+    mapping = _apply_non_static_mask(mapping, images, n_sample=n_sample)
     save_area(out_path, {
         "pos": g["pos"], "rgb": g["feats"], "labels": g["labels"],
         "normal": geo["normal"],
@@ -173,11 +179,24 @@ def make_scannet_dataset(
     root: str, train: bool = True, voxel_size: float = 0.05,
     image_slots: int = 6, radius: float = 2.0,
     samples_per_epoch: int = 2000, cache_dir: Optional[str] = None,
-    split_file: Optional[str] = None, **preprocess_kw,
+    split_file: Optional[str] = None,
+    mapping_params: Optional[dict] = None, aug_params: Optional[dict] = None,
+    **preprocess_kw,
 ) -> SphereDataset:
     """``root`` holds ``scans/scene*``; splits follow the official
-    scannetv2_{train,val}.txt lists when present."""
+    scannetv2_{train,val}.txt lists when present.  ``mapping_params`` /
+    ``aug_params``: the ingested reference data-YAML transform chain
+    (see make_s3dis_dataset)."""
     cache_dir = cache_dir or os.path.join(root, "processed_dva")
+    mp = dict(mapping_params or {})
+    for drop in ("crop_padding", "proj_upscale", "density", "occlusion"):
+        mp.pop(drop, None)
+    if "exact" in mp:
+        preprocess_kw.setdefault("exact_splatting", mp.pop("exact"))
+    preprocess_kw.update(mp)
+    from .base import build_augment, dataset_aug_kwargs
+
+    ds_kw = dataset_aug_kwargs(aug_params, train)
     scans = sorted(glob.glob(os.path.join(root, "scans", "scene*")))
     if split_file is None:
         name = "scannetv2_train.txt" if train else "scannetv2_val.txt"
@@ -203,8 +222,13 @@ def make_scannet_dataset(
     return SphereDataset(
         areas=AreaCache(paths, max_loaded=8),
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
-        train=train, augment=default_augment() if train else None,
+        train=train,
+        augment=build_augment(aug_params,
+                              default_augment()) if train else None,
         image_slots=image_slots, samples_per_epoch=samples_per_epoch,
-        # scannet-sparse.yaml:156 radiometric augmentation
-        color_jitter=(0.6, 0.6, 0.7) if train else None,
+        **{
+            # scannet-sparse.yaml:156 radiometric augmentation
+            "color_jitter": (0.6, 0.6, 0.7) if train else None,
+            **ds_kw,
+        },
     )

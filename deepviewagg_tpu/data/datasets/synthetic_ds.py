@@ -74,12 +74,31 @@ def build_synthetic_cache(
 def make_synthetic_dataset(
     root: str, train: bool = True, n_areas: int = 2, radius: float = 2.0,
     voxel_size: float = 0.08, image_slots: int = 2,
-    samples_per_epoch: int = 16, augment=None, **cache_kw,
+    samples_per_epoch: int = 16, augment=None,
+    mapping_params: Optional[dict] = None, aug_params: Optional[dict] = None,
+    **cache_kw,
 ) -> SphereDataset:
+    """``mapping_params`` / ``aug_params``: ingested reference data-YAML
+    transform-chain parameters (reference_ingest.load_data_cfg) — lets
+    ``data.ref=<name> data.dataset=synthetic`` exercise the published
+    pipeline parameterization without the real archives."""
+    from .base import build_augment, dataset_aug_kwargs
+
+    mp = dict(mapping_params or {})
+    for drop in ("crop_padding", "proj_upscale", "density", "occlusion",
+                 "r_max", "r_min", "k_swell", "exact", "n_sample", "nbf_k"):
+        mp.pop(drop, None)
+    cache_kw.update(mp)
+    cache_kw.pop("fold", None)
+    cache_kw.pop("frame_step", None)
     paths = build_synthetic_cache(root, n_areas=n_areas, **cache_kw)
     return SphereDataset(
         areas=AreaCache(paths, max_loaded=n_areas),
         radius=radius, voxel_size=voxel_size, num_classes=NUM_CLASSES,
-        train=train, augment=augment, image_slots=image_slots,
+        train=train,
+        augment=augment if augment is not None else (
+            build_augment(aug_params, None) if train else None),
+        image_slots=image_slots,
         samples_per_epoch=samples_per_epoch,
+        **dataset_aug_kwargs(aug_params, train),
     )

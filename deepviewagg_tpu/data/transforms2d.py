@@ -54,13 +54,39 @@ def _points_per_image(m: MultiViewMapping) -> np.ndarray:
 
 
 def pick_images_by_area(
-    cloud: dict, min_points: int = 64, use_bbox: bool = False
+    cloud: dict, min_points: int = 64, use_bbox: bool = False,
+    area_ratio: float = 0.02,
 ) -> dict:
-    """Drop images seeing fewer than ``min_points`` sample points
-    (PickImagesFromMappingArea with area->count simplification)."""
+    """Drop images whose mappings cover too little of the view.
+
+    ``use_bbox=False``: count criterion — fewer than ``min_points`` mapped
+    sample points (PickImagesFromMappingArea's scatter_add leg, image.py:
+    737-739, with the pixel-count -> point-count simplification).
+
+    ``use_bbox=True`` (what every published recipe runs when
+    exact_splatting_2d is on, s3disfused-sparse.yaml:148): the bbox of the
+    image's mapped pixels must exceed ``area_ratio`` of the image area
+    (image.py:740-754)."""
     m: MultiViewMapping = cloud["mapping"]
-    counts = _points_per_image(m)
-    keep = np.nonzero(counts >= min_points)[0]
+    if use_bbox and cloud.get("images") is not None:
+        w, h = cloud["images"].shape[1], cloud["images"].shape[2]
+        img_of_pix = m.image_id[np.minimum(m.pix_view,
+                                           len(m.image_id) - 1)]
+        n = m.num_images
+        x_min = np.full(n, w, np.int64); x_max = np.zeros(n, np.int64)
+        y_min = np.full(n, h, np.int64); y_max = np.zeros(n, np.int64)
+        ok = m.pix_valid
+        np.minimum.at(x_min, img_of_pix[ok], m.pix_x[ok])
+        np.maximum.at(x_max, img_of_pix[ok], m.pix_x[ok])
+        np.minimum.at(y_min, img_of_pix[ok], m.pix_y[ok])
+        np.maximum.at(y_max, img_of_pix[ok], m.pix_y[ok])
+        areas = np.maximum(x_max - x_min, 0) * np.maximum(y_max - y_min, 0)
+        keep = np.nonzero(areas > area_ratio * w * h)[0]
+        if len(keep) == 0:     # keep the largest mapping, never go empty
+            keep = np.asarray([int(areas.argmax())])
+    else:
+        counts = _points_per_image(m)
+        keep = np.nonzero(counts >= min_points)[0]
     if len(keep) == m.num_images:
         return cloud
     return _select_cloud_images(cloud, keep)

@@ -72,6 +72,20 @@ def test_pick_images_by_area(cloud):
     assert out2["mapping"].num_images == 0
 
 
+def test_pick_images_by_area_bbox(cloud):
+    """use_bbox (image.py:740-754): bbox-of-mapped-pixels area criterion,
+    never returns an empty image set."""
+    out = transforms2d.pick_images_by_area(cloud, use_bbox=True,
+                                           area_ratio=0.001)
+    assert out["mapping"].num_images >= 1
+    out["mapping"].check()
+    # an absurd ratio keeps exactly the largest-bbox image (n_min guard)
+    out2 = transforms2d.pick_images_by_area(cloud, use_bbox=True,
+                                            area_ratio=10.0)
+    assert out2["mapping"].num_images == 1
+    out2["mapping"].check()
+
+
 def test_random_dropout_consistency(cloud, rng):
     t = transforms3d.RandomDropout(dropout_ratio=0.5, p=1.0)
     out = t(cloud, rng)

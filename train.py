@@ -28,6 +28,13 @@ if os.environ.get("DVA_PLATFORM"):
 
 
 def build_dataset(cfg, train: bool):
+    # the reference evaluates under its own pixel budget
+    # (test_pixel_credit -> data.eval_image_slots)
+    if not train and cfg.data.eval_image_slots:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, data=_dc.replace(
+            cfg.data, image_slots=cfg.data.eval_image_slots))
     if cfg.data.dataset == "synthetic":
         from deepviewagg_tpu.data.datasets.synthetic_ds import (
             make_synthetic_dataset,
