@@ -45,7 +45,9 @@ def _tower_of(module_name: str) -> Tuple[str, bool]:
     if kind == "PPM":
         return "resnet18_ppm", deep
     if kind == "Pyramid":
-        return "resnet18_pyramid", deep
+        # the reference class returns the RAW resized tap concat — no
+        # projection conv (modalities/image.py ADE20KResNet18Pyramid.forward)
+        return "resnet18_pyramid_raw", deep
     return f"resnet18_l{layer or 4}", deep
 
 
@@ -57,7 +59,10 @@ _BACKBONES = {
 
 # tower key suffix -> output channels (image_encoders.OUT_CHANNELS order)
 _TOWER_CHANNELS = {"l0": 64, "l1": 64, "l2": 128, "l3": 256, "l4": 512,
-                   "ppm": 128, "pyramid": 128}
+                   "ppm": 128, "pyramid": 128,
+                   # raw tap concat: stem + layer1..4 (64/128-deep-stem
+                   # + 64 + 128 + 256 + 512)
+                   "raw": 1024}
 
 
 def resolve_constant(val, constants: Dict, feat: Optional[int] = None):
@@ -87,9 +92,23 @@ def _as_list(v, n: int) -> List:
     return list(v) if isinstance(v, list) else [v] * n
 
 
+# parsed-YAML memo: the published model files are ~3600 lines and parsing
+# dominates load_model_spec (~0.9 s/call); per-entry fidelity tests resolve
+# every one of the 141 entries several times over
+_DOC_CACHE: Dict[Tuple[str, float], Dict] = {}
+
+
+def load_yaml_doc(path: str) -> Dict:
+    key = (path, os.path.getmtime(path))
+    if key not in _DOC_CACHE:
+        _DOC_CACHE.clear()          # one live doc per path generation
+        with open(path) as f:
+            _DOC_CACHE[key] = yaml.safe_load(f)
+    return _DOC_CACHE[key]
+
+
 def load_model_entry(path: str, name: str) -> Dict:
-    with open(path) as f:
-        doc = yaml.safe_load(f)
+    doc = load_yaml_doc(path)
     if name not in doc:
         raise KeyError(f"entry '{name}' not in {path}")
     return doc[name]
@@ -298,6 +317,19 @@ def load_model_spec(path: str, name: str, num_classes: int,
                           if len(bidx) > 1 else [f"shared:{ns - 1}"])
         else:
             towers = _as_list(mod, len(bidx))
+            # In a module LIST, a ModalityIdentity AFTER a real tower means
+            # "the image feature state is unchanged" (the reference threads
+            # x_mod through the module sequence, modules.py:318-335): the
+            # tower runs ONCE and its maps are re-gathered/pooled at every
+            # later fusion level (XYZ-RGB-L4-all, sparseconv3d.yaml:3583).
+            # Only an all-Identity list means raw-pixel gather/pool.
+            if any(t != "ModalityIdentity" for t in towers):
+                towers = [
+                    ("reuse" if t == "ModalityIdentity"
+                     and any(u != "ModalityIdentity" for u in towers[:j])
+                     else t)
+                    for j, t in enumerate(towers)
+                ]
         n = len(towers)
         vp = img.get("view_pooling", {})
         ap = img.get("atomic_pooling", {})
@@ -317,6 +349,19 @@ def load_model_spec(path: str, name: str, num_classes: int,
             elif towers[i] == "ModalityIdentity":
                 tower, deep = None, False     # raw-RGB gather/pool
                 out_c = 3
+            elif towers[i] == "reuse":
+                # consume the (single) real tower's precomputed maps; the
+                # fused width still follows the YAML's own in/out_mod
+                tower, deep = "reuse", False
+                out_c = resolve_constant(out_mod[i], constants, in_channels)
+                if out_c is None:
+                    out_c = resolve_constant(in_mod[i], constants,
+                                             in_channels)
+                if out_c is None:
+                    real, rdeep = _tower_of(next(
+                        t for t in towers if t not in
+                        ("reuse", "ModalityIdentity")))
+                    out_c = _TOWER_CHANNELS[real.split("_")[-1]]
             else:
                 tower, deep = _tower_of(towers[i])
                 out_c = resolve_constant(out_mod[i], constants, in_channels)
@@ -328,6 +373,8 @@ def load_model_spec(path: str, name: str, num_classes: int,
                     out_c = _TOWER_CHANNELS[tower.split("_")[-1]]
                     if deep and tower == "resnet18_l0":
                         out_c = 128        # deep stem widens layer0
+                    if deep and tower == "resnet18_pyramid_raw":
+                        out_c = 1088       # 128-wide deep-stem tap
             branches.append((level_of(bidx[i]), BranchSpec(
                 tower=tower,
                 out_channels=int(out_c),

@@ -162,6 +162,11 @@ def make_tower(name: str, norm: str = "group", deep_stem: bool = False,
         fac = functools.partial(towers.ResNet18Pyramid, out_channels=128,
                                 norm=norm, deep_stem=deep_stem, name="tower")
         return fac, 128
+    if name == "resnet18_pyramid_raw":
+        # reference-exact pyramid: raw resized tap concat, no head conv
+        fac = functools.partial(towers.ResNet18Pyramid, project=False,
+                                norm=norm, deep_stem=deep_stem, name="tower")
+        return fac, (1088 if deep_stem else 1024)
     if name.startswith("resnet18_l"):
         lvl = int(name[-1])
         fac = functools.partial(towers.ResNet18, out_level=lvl, norm=norm,
@@ -259,6 +264,26 @@ class MultimodalSeg(nn.Module):
                 bf16=sb.tower_bf16,
             )
 
+        # single-tower reuse (XYZ-RGB-L4-all family): ONE named tower runs
+        # once and every branch — including the one that declares it —
+        # gathers/pools the same feature maps at its own 3D level (the
+        # reference threads x_mod through [Tower, ModalityIdentity, ...],
+        # modules.py:318-335)
+        reuse_map = None
+        if any(str(b.tower) == "reuse" for _, b in self.spec.branches):
+            if images is None:
+                raise ValueError(
+                    "tower-reuse branches need a flat image batch; "
+                    "crop-ladder (bucketed) collate is not supported")
+            ob = next(b for _, b in self.spec.branches
+                      if b.tower not in (None, "reuse"))
+            from ..modules.image_encoders import run_tower as _run_tower
+            fac, _ = make_tower(ob.tower, ob.tower_norm, ob.tower_deep_stem,
+                                tower_cfg=ob.tower_cfg)
+            reuse_map = _run_tower(
+                fac(name="reuse_tower"), images, train,
+                remat=ob.remat_tower, frozen=ob.frozen, bf16=ob.tower_bf16)
+
         x_seen_all = None
 
         def run_branch(level, x):
@@ -274,6 +299,10 @@ class MultimodalSeg(nn.Module):
                     # the tap's stride automatically
                     tower, c2 = None, taps[int(spec.tower[7:])].shape[-1]
                     images_in = taps[int(spec.tower[7:])]
+                elif reuse_map is not None and spec.tower is not None:
+                    # owner AND reuse branches gather the same maps
+                    tower, c2 = None, reuse_map.shape[-1]
+                    images_in = reuse_map
                 else:
                     tower, c2 = make_tower(spec.tower, spec.tower_norm,
                                            spec.tower_deep_stem,

@@ -308,6 +308,10 @@ class ResNet18Pyramid(nn.Module):
     norm: str = "group"
     out_channels: int = 128
     deep_stem: bool = False
+    # project=False returns the RAW resized tap concat — the reference
+    # class's exact output (ADE20KResNet18Pyramid.forward: interpolate each
+    # tap to the finest scale and torch.cat, no head conv)
+    project: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -319,6 +323,8 @@ class ResNet18Pyramid(nn.Module):
             for t in taps[1:]
         ]
         y = jnp.concatenate(resized, axis=-1)
+        if not self.project:
+            return y
         ws = self.norm == "group"
         y = Conv2dWS(self.out_channels, (1, 1), standardize=ws)(y)
         y = _Norm(self.norm)(y, train)

@@ -143,6 +143,46 @@ def test_no3d(batch):
     assert seen.any()
 
 
+def test_tower_reuse_branches(batch):
+    """XYZ-RGB-L4-all semantics (sparseconv3d.yaml:3583): ONE tower runs
+    once and every branch — including the owner — re-gathers/pools the
+    same feature maps at its own 3D level (the reference threads x_mod
+    through [Tower, ModalityIdentity, ...], modules.py:318-335)."""
+    spec = ModelSpec(
+        num_classes=4, in_channels=4, backbone="Res16UNetTest",
+        branches=(
+            (0, BranchSpec(tower="resnet18_l1", out_channels=16,
+                           num_groups=2, remat_tower=False)),
+            (2, BranchSpec(tower="reuse", out_channels=16,
+                           num_groups=2, remat_tower=False)),
+        ),
+    )
+    model = MultimodalSeg(spec)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    n = batch["meta"]["num_valid"]
+    assert np.isfinite(np.asarray(out["logits"][:n])).all()
+    # exactly one tower parameter tree exists (the shared one)
+    assert "reuse_tower" in variables["params"]
+    assert not any(k.startswith("branch_") and "tower" in variables["params"][k]
+                   for k in variables["params"])
+
+    valid = jnp.asarray(batch["graph"]["levels"][0]["valid"])
+
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=False,
+        )
+        return cross_entropy(o["logits"], jnp.asarray(batch["labels"]), valid)
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    tower_g = grads["reuse_tower"]
+    # the shared tower receives gradient through BOTH fusion levels
+    assert max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(tower_g)) > 0
+
+
 def test_lovasz_perfect_prediction():
     labels = jnp.array([0, 1, 2, 1, 0, -1])
     logits = jax.nn.one_hot(jnp.maximum(labels, 0), 3) * 50.0

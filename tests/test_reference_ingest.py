@@ -169,14 +169,13 @@ def test_every_published_model_entry_resolves():
     """ALL 141 published multimodal model entries (110 sparseconv3d + 31
     no3d) resolve to a ModelSpec: backbone (named preset or inline custom
     plan), branch levels, pool modes, fusion modes, channel widths."""
-    import yaml
-
+    from deepviewagg_tpu.config.reference_ingest import load_yaml_doc
     from deepviewagg_tpu.models.segmentation import ModelSpec
 
     total = 0
     families = set()
     for path, ncls in ((SPARSE, 13), (NO3D, 13)):
-        doc = yaml.safe_load(open(path))
+        doc = load_yaml_doc(path)
         for name in doc:
             if name == "defaults":
                 continue
@@ -321,11 +320,11 @@ def test_minkowski_baseline_and_pure3d_entries_resolve():
     onto the Res16UNet preset table, and the 14 pure-3D sparseconv3d
     entries resolve through the same DSL; ref: names search the multimodal
     file first, then the pure-3D file."""
-    import yaml
+    from deepviewagg_tpu.config.reference_ingest import load_yaml_doc
 
     for fname, expect in (("minkowski_baseline", 26), ("sparseconv3d", 14)):
         path = f"{REF}/models/segmentation/{fname}.yaml"
-        doc = yaml.safe_load(open(path))
+        doc = load_yaml_doc(path)
         n = sum(1 for k in doc if k != "defaults")
         assert n == expect
         for name in doc:
@@ -402,8 +401,8 @@ def test_attentive_alias_dim_scaling_ingest():
 def test_min_max_set_pool_ingests():
     """pool: min_max (sparseconv3d.yaml:4265) -> DeepSetFeat pool_modes
     ('min', 'max')."""
-    import yaml as _y
-    doc = _y.safe_load(open(SPARSE))
+    from deepviewagg_tpu.config.reference_ingest import load_yaml_doc
+    doc = load_yaml_doc(SPARSE)
     name = next(
         n for n, e in doc.items()
         if isinstance(e, dict) and "min_max" in str(
@@ -413,3 +412,174 @@ def test_min_max_set_pool_ingests():
     )
     spec = load_model_spec(SPARSE, name, 13, 4)
     assert any(b.pool_modes == ("min", "max") for _, b in spec.branches)
+
+
+def test_tower_reuse_ingest():
+    """In a module LIST, ModalityIdentity AFTER a real tower means the
+    image feature state is unchanged (modules.py:318-335): the tower runs
+    once and is re-pooled at every later fusion level.  XYZ-RGB-L4-all
+    (sparseconv3d.yaml:3583) -> 1 real tower + 5 reuse branches, fused
+    width 512 everywhere; the pyramid variant carries the RAW deep-stem
+    tap concat (1088 = 128+64+128+256+512, in_mod in the YAML itself)."""
+    spec = load_model_spec(SPARSE, "XYZ-RGB-L4-all", 13, 4)
+    towers = [b.tower for _, b in spec.branches]
+    assert towers[0] == "resnet18_l4"
+    assert towers[1:] == ["reuse"] * 5
+    assert all(b.out_channels == 512 for _, b in spec.branches)
+    assert [lvl for lvl, _ in spec.branches] == [0, 0, 1, 2, 3, 4]
+
+    spec = load_model_spec(SPARSE, "XYZ-RGB-pyramid-all-scale-2", 13, 4)
+    towers = [b.tower for _, b in spec.branches]
+    assert towers[0] == "resnet18_pyramid_raw"
+    assert towers[1:] == ["reuse"] * 5
+    assert all(b.out_channels == 1088 for _, b in spec.branches)
+
+
+def test_pyramid_raw_tower_channels():
+    """ADE20KResNet18Pyramid returns the raw resized tap concat (no head
+    conv): deep-stem 1088 channels; make_tower agrees with the ingester."""
+    from deepviewagg_tpu.models.segmentation import make_tower
+
+    _, c = make_tower("resnet18_pyramid_raw", deep_stem=True)
+    assert c == 1088
+    _, c = make_tower("resnet18_pyramid_raw", deep_stem=False)
+    assert c == 1024
+
+
+# ---------------------------------------------------------------------------
+# Widened fidelity invariants (VERDICT r3 #6): an INDEPENDENT simulation of
+# the reference's module construction, checked against every entry — a wrong
+# `level_of`/`_extract_backbone_plan` result fails loudly for any of the 141
+# entries, not just the pinned ones.
+# ---------------------------------------------------------------------------
+
+def _sim_fusion_levels(entry):
+    """Re-derive each branch's 3D fusion level by explicitly building the
+    reference's padded module list — written 1:1 from unet.py:441-510
+    (conv3d_before/after_fusion interleave, n_early_conv*2 Identities,
+    consecutive pairing into blocks, fusion between block_1 and block_2),
+    sharing NO code with reference_ingest.level_of."""
+    from deepviewagg_tpu.config.reference_ingest import resolve_constant
+
+    bb = entry.get("backbone", entry)
+    down = bb["down_conv"]
+    constants = dict(bb.get("define_constants", {}))
+    img = down["image"]
+    n = len(down["down_conv_nn"])
+    sv = down.get("stride", [1] + [2] * (n - 1))
+    sv = sv if isinstance(sv, list) else [sv] * n
+    strides = [int(resolve_constant(s, constants)) for s in sv]
+    mods = [("conv", s) for s in strides]
+    before = bool(down.get("conv3d_before_fusion", True))
+    after = bool(down.get("conv3d_after_fusion", True))
+    assert before or after                      # the reference asserts too
+    if before and not after:
+        mods = [y for x in mods for y in (x, ("id", 1))]
+    if after and not before:
+        mods = [y for x in mods for y in (("id", 1), x)]
+    n_early = int(down.get("n_early_conv", 1))
+    mods = [("id", 1)] * (2 * n_early) + mods
+    assert len(mods) % 2 == 0 and len(mods) > 0   # unet.py:478-480
+    n_blocks = len(mods) // 2
+    bi = img.get("branching_index", 0)
+    bi = bi if isinstance(bi, list) else [bi]
+    levels = []
+    for b in bi:
+        assert b < n_blocks                       # unet.py:508-511
+        ran = mods[: 2 * b + 1]    # block_1 of block b ran; fusion is next
+        levels.append(sum(1 for kind, s in ran if kind == "conv" and s == 2))
+    return levels
+
+
+def _mm_unet_entries():
+    from deepviewagg_tpu.config.reference_ingest import load_yaml_doc
+
+    doc = load_yaml_doc(SPARSE)
+    for name, entry in doc.items():
+        if name == "defaults" or not isinstance(entry, dict):
+            continue
+        if "backbone_3d" in entry:
+            continue                              # late-fusion pairs
+        bb = entry.get("backbone", entry)
+        if not isinstance(bb, dict) or "down_conv" not in bb:
+            continue
+        if bb["down_conv"].get("image") is None:
+            continue
+        yield name, entry
+
+
+def test_fusion_levels_match_reference_pairing_for_all_entries():
+    """Every UNet-family multimodal entry's branch levels equal the
+    independent padded-module-list simulation, and are non-decreasing."""
+    checked = 0
+    for name, entry in _mm_unet_entries():
+        sim = _sim_fusion_levels(entry)
+        spec = load_model_spec(SPARSE, name, num_classes=13, in_channels=4)
+        got = [lvl for lvl, _ in spec.branches]
+        assert got == sim, f"{name}: spec levels {got} != simulated {sim}"
+        assert got == sorted(got), f"{name}: fusion levels decrease"
+        checked += 1
+    assert checked >= 80          # 110 entries minus late/minkowski legs
+
+
+def test_custom_plan_levels_match_stride_arithmetic():
+    """Inline custom plans (the 21-15 family): encoder level count equals
+    the number of stride-2 down stages, decoder level count the number of
+    stride-2 up stages (all published plans are symmetric UNets), and every
+    plane is a positive resolved integer."""
+    from deepviewagg_tpu.config.reference_ingest import resolve_constant
+
+    checked = 0
+    for name, entry in _mm_unet_entries():
+        spec = load_model_spec(SPARSE, name, num_classes=13, in_channels=4)
+        if spec.backbone_layers is None:
+            continue
+        bb = entry.get("backbone", entry)
+        constants = dict(bb.get("define_constants", {}))
+        down, up = bb["down_conv"], bb.get("up_conv", {})
+
+        def s2(conv):
+            n = len(conv.get("down_conv_nn", conv.get("up_conv_nn")))
+            sv = conv.get("stride", [1] + [2] * (n - 1))
+            sv = sv if isinstance(sv, list) else [sv] * n
+            return sum(int(resolve_constant(s, constants)) == 2 for s in sv)
+
+        n_enc, n_dec = s2(down), s2(up)
+        assert n_dec == n_enc, name               # symmetric UNet
+        assert len(spec.backbone_layers) == n_enc + n_dec, name
+        assert len(spec.backbone_planes) == len(spec.backbone_layers)
+        assert all(isinstance(p, int) and p > 0
+                   for p in spec.backbone_planes), name
+        checked += 1
+    assert checked >= 10
+
+
+def test_tap_widths_match_down_conv_arithmetic():
+    """Branch out_channels match the YAML's own width arithmetic: explicit
+    out_mod/in_mod constants when present; the shared trunk's
+    down_conv_nn[tap][1] for shared-tower taps."""
+    from deepviewagg_tpu.config.reference_ingest import resolve_constant
+
+    checked = 0
+    for name, entry in _mm_unet_entries():
+        spec = load_model_spec(SPARSE, name, num_classes=13, in_channels=4)
+        bb = entry.get("backbone", entry)
+        constants = dict(bb.get("define_constants", {}))
+        img = bb["down_conv"]["image"]
+        vp = img.get("view_pooling", {})
+        n = len(spec.branches)
+        om = vp.get("out_mod", vp.get("in_mod"))
+        om = om if isinstance(om, list) else [om] * n
+        for i, (_, b) in enumerate(spec.branches):
+            if str(b.tower).startswith("shared:"):
+                tap = int(str(b.tower)[7:])
+                want = resolve_constant(
+                    img["down_conv"]["down_conv_nn"][tap][1], constants, 4)
+                assert b.out_channels == int(want), name
+                checked += 1
+            elif i < len(om) and om[i] is not None:
+                want = resolve_constant(om[i], constants, 4)
+                if isinstance(want, (int, float)) and int(want) > 0:
+                    assert b.out_channels == int(want), name
+                    checked += 1
+    assert checked >= 60
