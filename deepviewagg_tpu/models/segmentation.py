@@ -53,7 +53,9 @@ class BranchSpec:
     interpolate: bool = True
     drop_modality: float = 0.0
     fusion_mode: str = "residual"
-    remat_tower: bool = True
+    # False | True (full remat) | 'convs' (policy remat: conv outputs saved,
+    # only the norm/relu tail recomputed — see image_encoders.run_tower)
+    remat_tower: Any = True
     tower_norm: str = "group"
     # MIT-semseg deep stem (three 3x3 convs) — required to load ADE20K
     # resnet18dilated encoder checkpoints (ref image.py:798-840 layer0)

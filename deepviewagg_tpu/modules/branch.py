@@ -97,7 +97,7 @@ class UnimodalBranch(nn.Module):
     # nn.Dropout)
     drop_hard: bool = True
     fusion_mode: str = "residual"
-    remat_tower: bool = False
+    remat_tower: Any = False   # False | True | 'convs' (run_tower)
     keep_last_view: bool = False
     # frozen pretrained tower (ref modalities/image.py:737 'frozen' option):
     # run with frozen BN stats and stop_gradient so no grads flow to it

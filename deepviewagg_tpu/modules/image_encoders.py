@@ -83,7 +83,13 @@ class Conv2dWS(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
-        return y
+        # named for the remat='convs' policy (run_tower): under
+        # save_only_these_names the backward keeps every conv output and
+        # recomputes only the cheap norm/relu tail — remat-level memory at
+        # ~zero MXU recompute.  A no-op outside policy-remat.
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(y, "conv2d_ws_out")
 
 
 # Test-scoped escape hatch: run convs at f32 operand precision so
@@ -123,7 +129,7 @@ def view_shard_axis(name: Optional[str]):
         _VIEW_SHARD_AXIS.pop()
 
 
-def run_tower(tower, images, train: bool, *, remat: bool = False,
+def run_tower(tower, images, train: bool, *, remat=False,
               frozen: bool = False, bf16: bool = True):
     """Shared tower driver for the branch modules: optional bf16 activation
     policy (params stay f32, conv accumulation stays f32 on the MXU; the
@@ -132,6 +138,13 @@ def run_tower(tower, images, train: bool, *, remat: bool = False,
     modules.py:283-292) and frozen-tower stop_gradient
     (modalities/image.py:737).  Output is always f32 for the gather/pooling
     math.
+
+    ``remat`` is ``False`` (store everything), ``True`` (full remat: the
+    backward re-runs the whole tower forward, +1 tower-forward of MXU work),
+    or ``'convs'`` (policy remat: conv outputs — the expensive ops — are
+    SAVED via their ``conv2d_ws_out`` checkpoint name and only the cheap
+    norm/relu/WS tail is recomputed; ~full-remat memory shape at near-zero
+    recompute FLOPs — the recipe-scale default).
 
     Under an active :func:`view_shard_axis`, the image batch is block-sharded
     over that mesh axis: each device runs the tower on ``ceil(I/m)`` images
@@ -144,7 +157,16 @@ def run_tower(tower, images, train: bool, *, remat: bool = False,
 
     def apply(im):
         if remat and not frozen:
-            return nn.remat(lambda mdl, x: mdl(x, t_train))(tower, im)
+            kw = {}
+            if remat == "convs":
+                kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    "conv2d_ws_out")
+            if isinstance(tower, nn.Module):
+                return nn.remat(lambda mdl, x: mdl(x, t_train), **kw)(
+                    tower, im)
+            # plain callable (bound params, e.g. microbenches): no flax
+            # lifting needed
+            return jax.checkpoint(lambda x: tower(x, t_train), **kw)(im)
         return tower(im, t_train)
 
     axis = _VIEW_SHARD_AXIS[-1]

@@ -47,7 +47,7 @@ class MultiBucketBranch(nn.Module):
     # rematerialize the tower in backward — the reference's 'c' checkpoint
     # flag (modules.py:283); at recipe-scale 2D (1024x512 crops) the stored
     # activations otherwise dominate HBM
-    remat_tower: bool = False
+    remat_tower: Any = False   # False | True | 'convs' (run_tower)
     tower_bf16: bool = True       # bf16 tower activations (see branch.py)
 
     @nn.compact
