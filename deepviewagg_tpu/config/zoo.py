@@ -75,11 +75,12 @@ _NAMED = {
         branches=[dict(level=0, tower="resnet18_ppm", view_pool="group",
                        num_groups=8, interpolate=True)],
     ),
-    # the published light no3d model (no3d.yaml:5: 6.1M params, 2D UNet
-    # tower, atomic max + view MEAN pooling, logits at points)
+    # the published light no3d model (no3d.yaml:5: 6.1M params, scratch 2D
+    # UNet tower whose last_conv emits N_CLS per-pixel logits, atomic max +
+    # view MEAN pooling, NO head — class no3d.No3DLogitFusion)
     "Res16UNet21-15_light": dict(
-        family="no3d",
-        branches=[dict(level=0, tower="unet2d_light", out_channels=32,
+        family="no3d", no3d_head=False,
+        branches=[dict(level=0, tower="scratch_unet", tower_cfg="light",
                        atomic_reduce="max", view_pool="mean",
                        # the published entry does NOT set interpolate; the
                        # reference default is exact integer-pixel gather
@@ -173,11 +174,35 @@ def parse_model_name(name: str) -> Optional[dict]:
     )
 
 
+def _light_tower_cfg(num_classes: int):
+    """TowerCfg of the published light no3d UNet (no3d.yaml:14-51:
+    in_feat=32, 5 ResNetDown stages [stride 1,2,2,2,2], 5 ResNetUp stages,
+    1x1 last_conv to N_CLS) — built with the parity-pinned scratch stack
+    (modules/scratch2d.py)."""
+    f = 32
+    down = ((4, f, 3, 1, 1, 0), (f, f, 2, 2, 0, 2), (f, 2 * f, 2, 2, 0, 2),
+            (2 * f, 4 * f, 2, 2, 0, 2), (4 * f, 8 * f, 2, 2, 0, 2))
+    up = ((8 * f, 4 * f, 4 * f, 2, 2, 0, 1), (4 * f, 2 * f, 3 * f, 2, 2, 0, 1),
+          (3 * f, f, 2 * f, 2, 2, 0, 1), (2 * f, f, f, 2, 2, 0, 1),
+          (f, 0, f, 3, 1, 1, 1))
+    return (down, up, num_classes)
+
+
 def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
+    from ..modules.scratch2d import tower_cfg_out_channels
+
+    def _branch_tower_cfg(b):
+        tcfg = b.get("tower_cfg")
+        return _light_tower_cfg(num_classes) if tcfg == "light" else tcfg
+
     branches = tuple(
         (b["level"], BranchSpec(
             tower=b.get("tower", "resnet18_l4"),
-            out_channels=b.get("out_channels", 64),
+            tower_cfg=(tcfg := _branch_tower_cfg(b)),
+            tower_ws=b.get("tower_ws", True),
+            out_channels=b.get(
+                "out_channels",
+                tower_cfg_out_channels(tcfg) if tcfg else 64),
             atomic_reduce=b.get("atomic_reduce", "max"),
             view_pool=b.get("view_pool", "group"),
             num_groups=b.get("num_groups", 1),
@@ -185,6 +210,7 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
             gated=b.get("gated", True),
             interpolate=b.get("interpolate", True),
             drop_modality=b.get("drop_modality", 0.0),
+            drop_3d=b.get("drop_3d", 0.0),
             drop_hard=b.get("drop_hard", True),
             fusion_mode=b.get("fusion_mode", "residual"),
             # entry-level fallback so cfg.model.overrides can pin the stem
@@ -192,7 +218,7 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
             # tower checkpoint is absent at eval/predict time)
             tower_deep_stem=b.get("tower_deep_stem",
                                   entry.get("tower_deep_stem", False)),
-            remat_tower=b.get("remat_tower", True),
+            remat_tower=b.get("remat_tower", "convs"),
             tower_norm=b.get("tower_norm", "group"),
             frozen=b.get("frozen", False),
             tower_bf16=b.get("tower_bf16",
@@ -207,6 +233,7 @@ def _to_spec(entry: dict, num_classes: int, in_channels: int) -> ModelSpec:
         branches=branches,
         family=entry.get("family", "unet"),
         stem_kernel=entry.get("stem_kernel", 3),
+        no3d_head=entry.get("no3d_head", True),
     )
 
 

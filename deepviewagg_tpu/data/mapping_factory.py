@@ -81,8 +81,9 @@ def build_mappings(
     ``{linearity, planarity, scattering, normal}`` (else computed here via
     :func:`deepviewagg_tpu.data.geometric.pca_features` — the reference
     carries them from the 3D pre-transform chain, SURVEY.md §A.3);
-    ``nn_idx`` optionally reuses a kNN index table ``[N, >=knn_k+1]``
-    (column 0 = self) for the density/occlusion features.
+    ``nn_idx`` optionally reuses a SELF-INCLUSIVE kNN index table
+    ``[N, >=knn_k]`` (column 0 = self, the reference's argKmin convention)
+    for the density/occlusion features.
     """
     params = params or VisibilityParams()
     pos = np.asarray(pos, np.float32)
@@ -189,21 +190,26 @@ def build_mappings(
                                 ys=ys, feats6=feats6)
 
     # features 7-8: density (per point) and occlusion (per point,image) —
-    # NeighborhoodBasedMappingFeatures (data_transform/multimodal/image.py:431-612)
-    k = min(params.knn_k, max(1, n - 1))
-    if nn_idx is not None and nn_idx.shape[1] >= k + 1:
-        nn_idx = nn_idx[:, : k + 1]
+    # NeighborhoodBasedMappingFeatures (data_transform/multimodal/image.py:
+    # 431-612).  The reference's kNN table is SELF-INCLUSIVE (argKmin over
+    # the cloud itself, so column 0 is the query point): density uses the
+    # distance to table column k-1 (image.py:533) and occlusion counts seen
+    # neighbors over table columns 0..k-1 PLUS a baseline 1 for the point
+    # itself, normalized by k+1 (image.py:586-600).
+    k = min(params.knn_k, n)
+    if nn_idx is not None and nn_idx.shape[1] >= k:
+        nn_idx = nn_idx[:, :k]
         diffs = pos[nn_idx[:, -1]] - pos
-        d2 = np.concatenate(
-            [np.zeros((n, k), np.float32),
-             np.sum(diffs * diffs, axis=1, keepdims=True)], axis=1,
-        )
+        d2_max = np.sum(diffs * diffs, axis=1)
     else:
-        d2, nn_idx = _knn.knn(pos, pos, k=k + 1)
-    d_k = np.sqrt(np.maximum(d2[:, -1], 1e-12))
-    density = ((k + 1) / (np.pi * d_k**2)) / (params.voxel ** -2)
-    # occlusion[p, i] = fraction of p's kNN seen by image i
-    occlusion = seen_matrix[nn_idx[:, 1:]].mean(axis=1)  # [n, len(cams)]
+        d2, nn_idx = _knn.knn(pos, pos, k=k)
+        d2_max = d2[:, -1]
+    # ref: v_sphere = 3.1416 * d2_max; NaN densities -> 1 (image.py:537-543)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        density = ((k + 1) / (3.1416 * d2_max)) * (params.voxel ** 2)
+    density = np.where(np.isnan(density), 1.0, density).astype(np.float32)
+    # occlusion[p, i] = (1 + sum_j seen[nn[p, j], i]) / (k + 1)
+    occlusion = (1.0 + seen_matrix[nn_idx].sum(axis=1)) / (k + 1)
 
     # assemble view & pixel tables, image-major then lexsorted by point
     v_pid, v_img, v_feats = [], [], []

@@ -52,10 +52,16 @@ class BranchSpec:
     gated: bool = True
     interpolate: bool = True
     drop_modality: float = 0.0
+    # dropout on the 3D features just before fusion (ref UnimodalBranch
+    # drop_3d, modules.py:264-274 — 48 published sparseconv3d entries use it)
+    drop_3d: float = 0.0
     fusion_mode: str = "residual"
     # False | True (full remat) | 'convs' (policy remat: conv outputs saved,
-    # only the norm/relu tail recomputed — see image_encoders.run_tower)
-    remat_tower: Any = True
+    # only the norm/relu tail recomputed — see image_encoders.run_tower).
+    # 'convs' is the default: at recipe shapes it cuts the PPM tower's
+    # fwd+bwd 94.5 -> 56.2 ms vs full remat at near-identical memory shape
+    # (scripts/profile_recipe2d.py, PERF.md round 5)
+    remat_tower: Any = "convs"
     tower_norm: str = "group"
     # MIT-semseg deep stem (three 3x3 convs) — required to load ADE20K
     # resnet18dilated encoder checkpoints (ref image.py:798-840 layer0)
@@ -91,6 +97,9 @@ class BranchSpec:
     # pins the reference's own WS/GN/reflect-pad formulas instead of the
     # TPU-first image_encoders towers
     tower_cfg: Optional[Tuple] = None
+    # weight standardization inside scratch_unet towers (the YAML's
+    # weight_standardization flag; the published scratch entries use True)
+    tower_ws: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +131,11 @@ class ModelSpec:
     # per stage; branches reference taps as tower="shared:<stage>"
     shared_tower: Optional[Tuple[Tuple[int, ...], Tuple[int, ...],
                                  Tuple[int, ...]]] = None
+    # no3d family only: False for the No3DLogitFusion classes (_HAS_HEAD
+    # = False, no3d.py:164-180) — the tower's last_conv already emits
+    # per-pixel CLASS logits and the model applies NO linear head; True
+    # for the FeatureFusion classes (Linear head on pooled features)
+    no3d_head: bool = True
 
     def branch_levels(self):
         """level -> [BranchSpec, ...]; several branches may share a level
@@ -135,22 +149,19 @@ class ModelSpec:
 
 
 def make_tower(name: str, norm: str = "group", deep_stem: bool = False,
-               tower_cfg=None):
+               tower_cfg=None, ws: bool = True):
     """Tower registry -> (factory, out_channels).  Names follow the
     reference's encoder naming (truncation level / PPM variants,
     modalities/image.py).  The factory is passed to ``UnimodalBranch`` so the
     tower binds inside the branch's parameter scope."""
     if name == "scratch_unet":
         # reference-exact compact-format tower (modalities/image.py:510-627)
-        from ..modules.scratch2d import unetws_from_cfg
+        from ..modules.scratch2d import tower_cfg_out_channels, unetws_from_cfg
 
         assert tower_cfg is not None, "scratch_unet needs BranchSpec.tower_cfg"
-        down, up, last = tower_cfg
-        out = last if last is not None else (
-            up[-1][2] if up else down[-1][1])
-        fac = functools.partial(unetws_from_cfg, tower_cfg, norm=norm,
+        fac = functools.partial(unetws_from_cfg, tower_cfg, norm=norm, ws=ws,
                                 name="tower")
-        return fac, int(out)
+        return fac, tower_cfg_out_channels(tower_cfg)
     if name is None:
         # tower-less branch: gather/pool raw image channels (the reference's
         # no-encoder debug path); channel count comes from the images at
@@ -281,7 +292,7 @@ class MultimodalSeg(nn.Module):
                       if b.tower not in (None, "reuse"))
             from ..modules.image_encoders import run_tower as _run_tower
             fac, _ = make_tower(ob.tower, ob.tower_norm, ob.tower_deep_stem,
-                                tower_cfg=ob.tower_cfg)
+                                tower_cfg=ob.tower_cfg, ws=ob.tower_ws)
             reuse_map = _run_tower(
                 fac(name="reuse_tower"), images, train,
                 remat=ob.remat_tower, frozen=ob.frozen, bf16=ob.tower_bf16)
@@ -308,7 +319,8 @@ class MultimodalSeg(nn.Module):
                 else:
                     tower, c2 = make_tower(spec.tower, spec.tower_norm,
                                            spec.tower_deep_stem,
-                                           tower_cfg=spec.tower_cfg)
+                                           tower_cfg=spec.tower_cfg,
+                                           ws=spec.tower_ws)
                 mm = batch["mappings"][level]
                 if "buckets" in mm:
                     # crop-group families (Bucket.image_ladder collate path)
@@ -350,6 +362,7 @@ class MultimodalSeg(nn.Module):
                         gated=spec.gated,
                         interpolate=spec.interpolate,
                         drop_modality=spec.drop_modality,
+                        drop_3d=spec.drop_3d,
                         drop_hard=spec.drop_hard,
                         fusion_mode=spec.fusion_mode,
                         remat_tower=spec.remat_tower,
@@ -424,7 +437,8 @@ class No3DSeg(nn.Module):
         for k, (level, bspec) in enumerate(self.spec.branches):
             tower, c2 = make_tower(bspec.tower, bspec.tower_norm,
                                    bspec.tower_deep_stem,
-                                   tower_cfg=bspec.tower_cfg)
+                                   tower_cfg=bspec.tower_cfg,
+                                   ws=bspec.tower_ws)
             branch = UnimodalBranch(
                 tower=tower, out_channels=bspec.out_channels,
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
@@ -436,6 +450,9 @@ class No3DSeg(nn.Module):
                 pool_fusion=bspec.pool_fusion,
                 use_mod=bspec.use_mod,
                 interpolate=bspec.interpolate, fusion_mode="modality",
+                drop_modality=bspec.drop_modality,
+                drop_hard=bspec.drop_hard,
+                remat_tower=bspec.remat_tower,
                 keep_last_view=(k == 0), frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
                 name="branch" if k == 0 else f"branch_{k}",
@@ -453,8 +470,14 @@ class No3DSeg(nn.Module):
         # bare linear head on the fused features — the reference's
         # No3DFeatureFusion head is Sequential(Linear(output_nc, classes))
         # with NO hidden MLP (no3d.py:36-38); multi-branch entries reach it
-        # through the modality+concatenation fusion chain (= this concat)
-        head = nn.Dense(self.spec.num_classes, name="head")
+        # through the modality+concatenation fusion chain (= this concat).
+        # The LogitFusion classes have NO head at all (_HAS_HEAD=False,
+        # no3d.py:164-180): their towers' last_conv already emits N_CLS
+        # per-pixel logits and the pooled values go straight to log_softmax.
+        if self.spec.no3d_head:
+            head = nn.Dense(self.spec.num_classes, name="head")
+        else:
+            head = lambda t: t  # noqa: E731 — logit fusion: identity
         logits = head(pooled)
         out = {"logits": logits, "x_seen": x_seen, "view_extras": extras}
         # per-view logits through the SAME head — the reference's view-level
@@ -498,7 +521,8 @@ class LateFusionSeg(nn.Module):
         for k, (_, bspec) in enumerate(self.spec.branches):
             tower, _ = make_tower(bspec.tower, bspec.tower_norm,
                                   bspec.tower_deep_stem,
-                                  tower_cfg=bspec.tower_cfg)
+                                  tower_cfg=bspec.tower_cfg,
+                                  ws=bspec.tower_ws)
             branch = UnimodalBranch(
                 tower=tower, out_channels=bspec.out_channels,
                 atomic_reduce=bspec.atomic_reduce, view_pool=bspec.view_pool,
@@ -514,6 +538,8 @@ class LateFusionSeg(nn.Module):
                 pool_modes=bspec.pool_modes,
                 pool_fusion=bspec.pool_fusion,
                 interpolate=bspec.interpolate, fusion_mode="modality",
+                drop_modality=bspec.drop_modality,
+                drop_hard=bspec.drop_hard,
                 remat_tower=bspec.remat_tower, frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
                 name="branch" if k == 0 else f"branch_{k}",

@@ -92,9 +92,15 @@ class UnimodalBranch(nn.Module):
     gated: bool = True
     interpolate: bool = True
     drop_modality: float = 0.0
+    # dropout on the 3D features before fusion (ref drop_3d,
+    # modules.py:264-274; applied in forward_dropout before forward_fusion,
+    # modules.py:555-561)
+    drop_3d: float = 0.0
     # hard: all-or-nothing ModalityDropout; soft: per-element Dropout on the
     # pooled features (ref modules.py:272 ModalityDropout if hard_drop else
-    # nn.Dropout)
+    # nn.Dropout).  NOTE the reference BUILDER never threads hard_drop from
+    # the YAML (unet.py:543-546), so every published entry executes the
+    # soft nn.Dropout — ingestion emits drop_hard=False accordingly.
     drop_hard: bool = True
     fusion_mode: str = "residual"
     remat_tower: Any = False   # False | True | 'convs' (run_tower)
@@ -195,6 +201,16 @@ class UnimodalBranch(nn.Module):
                 deterministic=not (train and self.has_rng("dropout")),
                 name="mod_drop",
             )(pooled)
+        if self.drop_3d > 0 and x_3d is not None:
+            if self.drop_hard:
+                x_3d = ModalityDropout(self.drop_3d, name="drop_3d")(
+                    x_3d, train=train)
+            else:
+                x_3d = nn.Dropout(
+                    self.drop_3d,
+                    deterministic=not (train and self.has_rng("dropout")),
+                    name="drop_3d",
+                )(x_3d)
         if x_3d is None:
             out = pooled
         else:

@@ -144,13 +144,18 @@ def run_tower(tower, images, train: bool, *, remat=False,
     or ``'convs'`` (policy remat: conv outputs — the expensive ops — are
     SAVED via their ``conv2d_ws_out`` checkpoint name and only the cheap
     norm/relu/WS tail is recomputed; ~full-remat memory shape at near-zero
-    recompute FLOPs — the recipe-scale default).
+    recompute FLOPs).  'convs' is the BranchSpec default — measured at
+    recipe shapes: PPM tower fwd+bwd 94.5 ms (full remat) -> 56.2 ms
+    (scripts/profile_recipe2d.py, PERF.md round 5).
 
     Under an active :func:`view_shard_axis`, the image batch is block-sharded
     over that mesh axis: each device runs the tower on ``ceil(I/m)`` images
     and the full feature maps come back via a tiled ``all_gather`` (its AD
     transpose is a reduce-scatter, so tower gradients arrive pre-summed —
     a uniform ``pmean`` over (data, model) then yields exact global grads)."""
+    if remat not in (False, True, "convs"):
+        # a typo like 'conv' would otherwise silently select FULL remat
+        raise ValueError(f"remat must be False, True or 'convs'; got {remat!r}")
     t_train = train and not frozen
     if bf16:
         images = images.astype(jnp.bfloat16)
@@ -217,11 +222,17 @@ class _BasicBlock2d(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
     norm: str = "group"
+    # MIT-semseg ``_nostride_dilate``: when a stage's stride-2 conv is
+    # converted to stride 1, THAT conv keeps dilation d/2 while every other
+    # 3x3 conv in the stage runs at d (mit resnet18dilated, the topology the
+    # ADE20K checkpoints store).  None -> same as ``dilation``.
+    first_dilation: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ws = self.norm == "group"
-        y = Conv2dWS(self.features, (3, 3), self.strides, self.dilation,
+        y = Conv2dWS(self.features, (3, 3), self.strides,
+                     self.first_dilation or self.dilation,
                      standardize=ws)(x)
         y = _Norm(self.norm)(y, train)
         y = nn.relu(y)
@@ -279,7 +290,10 @@ class ResNet18(nn.Module):
              (4, 4) if self.dilated8 else (1, 1)),
         ]
         for li, (f, s, d) in enumerate(plan[: self.out_level]):
-            x = _BasicBlock2d(f, s, d, self.norm)(x, train)
+            # MIT _nostride_dilate: the de-strided conv (block0.conv1 of a
+            # dilated stage) runs at d/2 — dilation 1 in layer3, 2 in layer4
+            fd = (max(d[0] // 2, 1),) * 2 if d != (1, 1) else None
+            x = _BasicBlock2d(f, s, d, self.norm, first_dilation=fd)(x, train)
             x = _BasicBlock2d(f, (1, 1), d, self.norm)(x, train)
             taps.append(x)
         if self.pyramid:

@@ -262,14 +262,30 @@ class ResNetUp2D(nn.Module):
 
 
 class UnaryConv2D(nn.Module):
-    """``UnaryConv`` (image.py:403-456) as published: a bare 1x1 conv
-    (no norm / activation / dropout in the No3D last_conv configs)."""
+    """``UnaryConv`` (image.py:403-456): 1x1 conv with optional INPUT channel
+    dropout — ``in_drop`` builds a ``Dropout2d`` (or ``PersistentDropout2d``
+    when ``persistent_drop``: one mask shared by the whole image batch,
+    image.py:465-508) applied before the conv.  The published No3D last_conv
+    configs use either the bare conv or ``in_drop: 0.5``."""
 
     features: int
     ws: bool = False
+    in_drop: float = 0.0
+    persistent_drop: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.in_drop > 0 and train and self.has_rng("dropout"):
+            if self.persistent_drop:
+                # one [1,1,1,C] mask for the whole batch (the torch module
+                # keeps its mask across sub-batch calls within a step)
+                shape = (1, 1, 1, x.shape[-1])
+            else:
+                # torch Dropout2d: an independent channel mask PER image
+                shape = (x.shape[0], 1, 1, x.shape[-1])
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - self.in_drop, shape)
+            x = jnp.where(keep, x / (1.0 - self.in_drop), 0.0)
         return WSConv2d(self.features, 1, 1, 0, standardize=self.ws,
                         name="conv")(x)
 
@@ -278,9 +294,20 @@ class UnaryConv2D(nn.Module):
 # TowerCfg: hashable compact spec mirroring the YAML DSL —
 #   down: ((nc_in, nc_out, k, s, p, N), ...)
 #   up:   ((nc_in, nc_skip, nc_out, k, s, p, N), ...)   or None
-#   last: output_nc or None
+#   last: output_nc | (output_nc, in_drop, persistent_drop) | None
 TowerCfg = Tuple[Tuple[Tuple[int, ...], ...],
                  Optional[Tuple[Tuple[int, ...], ...]], Optional[int]]
+
+
+def tower_cfg_out_channels(cfg: TowerCfg) -> int:
+    """Output width of a compact tower: last conv if present, else the final
+    up stage's nc_out, else the final down stage's nc_out."""
+    down, up, last = cfg
+    if last is not None:
+        return int(last[0] if isinstance(last, (tuple, list)) else last)
+    if up:
+        return int(up[-1][2])
+    return int(down[-1][1])
 
 
 class UNetWS(nn.Module):
@@ -311,7 +338,13 @@ class UNetWS(nn.Module):
                                self.norm, self.ws, name=f"up{i}")(x, skip,
                                                                   train)
         if self.last is not None:
-            x = UnaryConv2D(self.last, name="last")(x, train)
+            if isinstance(self.last, (tuple, list)):
+                nc, in_drop, persist = self.last
+                x = UnaryConv2D(int(nc), in_drop=float(in_drop),
+                                persistent_drop=bool(persist),
+                                name="last")(x, train)
+            else:
+                x = UnaryConv2D(int(self.last), name="last")(x, train)
         return x
 
 

@@ -165,6 +165,46 @@ class FakeSparseTensor:
         self.coord_maps = coord_maps if coord_maps is not None else {s: C}
 
 
+class MockStridedVoxelConv(torch.nn.Module):
+    """Pure-torch stride-2 'sparse conv' for composed strided parity tests:
+    linear -> ReLU -> per-output-voxel mean pooling.
+
+    Mimics what ``forward_3d_block_down`` (modules.py:166-212) needs from a
+    strided torchsparse conv: output coords are the unique input coords
+    voxelized to the doubled stride (torchsparse convention — coords stay in
+    level-0 units, batch index in the LAST column) and ``coord_maps`` gains
+    the new stride level, so the reference's own sphash/sphashquery reindex
+    recovery runs on it verbatim.  Output rows come out in ascending
+    (batch, x, y, z) order — the same canonical order as this repo's
+    ``ops.voxel.unique_coords``, so rows align 1:1 across implementations.
+    Coordinates must be non-negative and < 2**14 (the sphash shim range).
+    """
+
+    def __init__(self, c_in, c_out):
+        super().__init__()
+        self.lin = torch.nn.Linear(c_in, c_out)
+
+    def forward(self, st):
+        s_out = st.s * 2
+        C = st.C.clone().long()
+        C[:, :3] = torch.div(C[:, :3], s_out, rounding_mode="floor") * s_out
+        # pack as (batch, x, y, z) — batch lives in the LAST coord column
+        B = 1 << 15
+        key = ((C[:, 3] * B + C[:, 0]) * B + C[:, 1]) * B + C[:, 2]
+        uniq, inv = torch.unique(key, return_inverse=True)  # sorted asc
+        out_c = torch.empty((len(uniq), 4), dtype=st.C.dtype)
+        out_c[inv] = C.to(st.C.dtype)  # rows within a group are identical
+        f = torch.relu(self.lin(st.F))
+        out_f = torch.zeros((len(uniq), f.shape[1]), dtype=f.dtype)
+        out_f.index_add_(0, inv, f)
+        counts = torch.zeros(len(uniq), dtype=f.dtype)
+        counts.index_add_(0, inv, torch.ones(len(inv), dtype=f.dtype))
+        out_f = out_f / counts[:, None]
+        cmaps = dict(st.coord_maps)
+        cmaps[s_out] = out_c
+        return FakeSparseTensor(out_f, out_c, s=s_out, coord_maps=cmaps)
+
+
 def _torchsparse_modules() -> dict:
     ts = types.ModuleType("torchsparse")
     ts_nn = types.ModuleType("torchsparse.nn")
@@ -472,6 +512,326 @@ def load_reference_grid_transform():
     return mod
 
 
+# ------------------------ torchvision / mit_semseg functional shims --------
+def _install_torchvision_shim():
+    """A faithful ``torchvision.models.resnet`` — ``ResNet``/``BasicBlock``
+    reimplemented from the public topology — so the reference's torchvision
+    truncation classes (image.py:959-1131) execute verbatim with transplant-
+    able weights.  ``load_state_dict_from_url`` raises (zero egress here);
+    parity tests run ``pretrained=False`` or save a local ``.pth``."""
+    import torch.nn as tnn
+
+    tv = sys.modules.get("torchvision")
+    if tv is not None and hasattr(getattr(tv, "models", None), "resnet") \
+            and hasattr(tv.models.resnet, "ResNet"):
+        return
+
+    def conv3x3(cin, cout, stride=1, dilation=1):
+        return tnn.Conv2d(cin, cout, 3, stride=stride, padding=dilation,
+                          dilation=dilation, bias=False)
+
+    class BasicBlock(tnn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     norm_layer=tnn.BatchNorm2d):
+            super().__init__()
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = norm_layer(planes)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    def make_layer(owner, block, planes, blocks, stride=1,
+                   norm_layer=tnn.BatchNorm2d):
+        downsample = None
+        if stride != 1 or owner.inplanes != planes * block.expansion:
+            downsample = tnn.Sequential(
+                tnn.Conv2d(owner.inplanes, planes * block.expansion, 1,
+                           stride=stride, bias=False),
+                norm_layer(planes * block.expansion))
+        layers = [block(owner.inplanes, planes, stride, downsample,
+                        norm_layer)]
+        owner.inplanes = planes * block.expansion
+        layers += [block(owner.inplanes, planes, norm_layer=norm_layer)
+                   for _ in range(1, blocks)]
+        return tnn.Sequential(*layers)
+
+    class ResNet(tnn.Module):
+        """torchvision single-7x7-stem ResNet."""
+
+        def __init__(self, block, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                    bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = make_layer(self, block, 64, layers[0])
+            self.layer2 = make_layer(self, block, 128, layers[1], stride=2)
+            self.layer3 = make_layer(self, block, 256, layers[2], stride=2)
+            self.layer4 = make_layer(self, block, 512, layers[3], stride=2)
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512 * block.expansion, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for layer in (self.layer1, self.layer2, self.layer3,
+                          self.layer4):
+                x = layer(x)
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    def load_state_dict_from_url(url, *a, **k):
+        raise RuntimeError(f"no network egress in this environment: {url}")
+
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    models = getattr(tv, "models", None)
+    if not isinstance(models, types.ModuleType):
+        models = types.ModuleType("torchvision.models")
+        tv.models = models
+    resnet = types.ModuleType("torchvision.models.resnet")
+    resnet.ResNet, resnet.BasicBlock = ResNet, BasicBlock
+    resnet.conv3x3 = conv3x3
+    resnet._make_layer = make_layer
+    resnet.model_urls = {
+        f"resnet{n}": f"https://download.pytorch.org/models/resnet{n}.pth"
+        for n in (18, 34, 50, 101, 152)}
+    utils = types.ModuleType("torchvision.models.utils")
+    utils.load_state_dict_from_url = load_state_dict_from_url
+    models.resnet, models.utils = resnet, utils
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.resnet"] = resnet
+    sys.modules["torchvision.models.utils"] = utils
+
+
+def _install_mit_semseg_shim():
+    """A faithful functional ``mit_semseg`` (CSAILVision semantic-segmentation
+    toolkit) shim: the deep-stem dilated ResNet18 encoder and PPM-deepsup
+    decoder that the reference's ADE20K tower classes build
+    (image.py:721-857), reimplemented from the public topology.
+
+      * ``SynchronizedBatchNorm2d`` == ``nn.BatchNorm2d`` (their single-
+        process semantics are identical; sync only changes multi-GPU stats);
+      * ``ModelBuilder.build_encoder('resnet18dilated')`` — MIT's deep stem
+        (three 3x3 conv-bn-relu: 64, 64, 128) + BasicBlock layers [2,2,2,2]
+        with ``_nostride_dilate`` applied to layer3 (d=2) / layer4 (d=4) and
+        ``forward(..., return_feature_maps=True)`` returning all four stage
+        maps; attributes (conv1..maxpool, layer1-4) exposed for the
+        reference's layer0 re-grouping (image.py:833-846);
+      * ``ModelBuilder.build_decoder('ppm_deepsup')`` — PPM over scales
+        (1,2,3,6): AdaptiveAvgPool -> 1x1 conv(512, no bias) -> BN -> ReLU,
+        plus conv_last [3x3 conv(512) -> BN -> ReLU -> Dropout2d ->
+        classifier]; ``PPMFeatMap.from_pretrained`` strips the last two
+        (image.py:685-700);
+      * ``cfg`` — a minimal yacs-style config with ``merge_from_file``.
+
+    Checkpoint loading goes through plain ``torch.load`` +
+    ``load_state_dict``, so parity tests can save a randomly-initialized
+    state dict under the expected paths and exercise the reference's full
+    pretrained-build path."""
+    import torch.nn as tnn
+
+    ms = sys.modules.get("mit_semseg")
+    if ms is not None and hasattr(
+            getattr(getattr(ms, "models", None), "ModelBuilder", None),
+            "build_encoder"):
+        return
+
+    class SynchronizedBatchNorm2d(tnn.BatchNorm2d):
+        pass
+
+    # reuse the torchvision BasicBlock/_make_layer topology
+    _install_torchvision_shim()
+    tvr = sys.modules["torchvision.models.resnet"]
+
+    class _MITResNet(tnn.Module):
+        """MIT resnet.py deep-stem ResNet (their resnet18)."""
+
+        def __init__(self, layers=(2, 2, 2, 2)):
+            super().__init__()
+            bn = SynchronizedBatchNorm2d
+            self.inplanes = 128
+            self.conv1 = tvr.conv3x3(3, 64, stride=2)
+            self.bn1 = bn(64)
+            self.relu1 = tnn.ReLU(inplace=True)
+            self.conv2 = tvr.conv3x3(64, 64)
+            self.bn2 = bn(64)
+            self.relu2 = tnn.ReLU(inplace=True)
+            self.conv3 = tvr.conv3x3(64, 128)
+            self.bn3 = bn(128)
+            self.relu3 = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = tvr._make_layer(
+                self, tvr.BasicBlock, 64, layers[0], norm_layer=bn)
+            self.layer2 = tvr._make_layer(
+                self, tvr.BasicBlock, 128, layers[1], stride=2, norm_layer=bn)
+            self.layer3 = tvr._make_layer(
+                self, tvr.BasicBlock, 256, layers[2], stride=2, norm_layer=bn)
+            self.layer4 = tvr._make_layer(
+                self, tvr.BasicBlock, 512, layers[3], stride=2, norm_layer=bn)
+
+        def stem(self, x):
+            x = self.relu1(self.bn1(self.conv1(x)))
+            x = self.relu2(self.bn2(self.conv2(x)))
+            x = self.relu3(self.bn3(self.conv3(x)))
+            return self.maxpool(x)
+
+        def forward(self, x, return_feature_maps=False):
+            conv_out = []
+            x = self.stem(x)
+            for layer in (self.layer1, self.layer2, self.layer3,
+                          self.layer4):
+                x = layer(x)
+                conv_out.append(x)
+            return conv_out if return_feature_maps else [x]
+
+    def _nostride_dilate(m, dilate):
+        # MIT ResnetDilated._nostride_dilate: de-stride stage convs; the
+        # de-strided 3x3 runs at d/2, every other 3x3 at d
+        if isinstance(m, tnn.Conv2d):
+            if m.stride == (2, 2):
+                m.stride = (1, 1)
+                if m.kernel_size == (3, 3):
+                    m.dilation = (dilate // 2, dilate // 2)
+                    m.padding = (dilate // 2, dilate // 2)
+            elif m.kernel_size == (3, 3):
+                m.dilation = (dilate, dilate)
+                m.padding = (dilate, dilate)
+
+    def _dilate(net, dilate_scale=8):
+        import functools as _ft
+
+        if dilate_scale == 8:
+            net.layer3.apply(_ft.partial(_nostride_dilate, dilate=2))
+            net.layer4.apply(_ft.partial(_nostride_dilate, dilate=4))
+        elif dilate_scale == 16:
+            net.layer4.apply(_ft.partial(_nostride_dilate, dilate=2))
+        return net
+
+    class _PPMDeepsup(tnn.Module):
+        def __init__(self, num_class=150, fc_dim=512, use_softmax=False,
+                     pool_scales=(1, 2, 3, 6)):
+            super().__init__()
+            bn = SynchronizedBatchNorm2d
+            self.use_softmax = use_softmax
+            self.ppm = tnn.ModuleList([
+                tnn.Sequential(
+                    tnn.AdaptiveAvgPool2d(s),
+                    tnn.Conv2d(fc_dim, 512, 1, bias=False),
+                    bn(512),
+                    tnn.ReLU(inplace=True))
+                for s in pool_scales])
+            self.conv_last = tnn.Sequential(
+                tnn.Conv2d(fc_dim + len(pool_scales) * 512, 512, 3,
+                           padding=1, bias=False),
+                bn(512),
+                tnn.ReLU(inplace=True),
+                tnn.Dropout2d(0.1),
+                tnn.Conv2d(512, num_class, 1))
+
+        def forward(self, conv_out, segSize=None):
+            import torch.nn.functional as F
+
+            conv5 = conv_out[-1]
+            sz = conv5.size()
+            out = [conv5] + [
+                F.interpolate(p(conv5), (sz[2], sz[3]), mode="bilinear",
+                              align_corners=False) for p in self.ppm]
+            x = self.conv_last(torch.cat(out, 1))
+            if self.use_softmax:
+                x = tnn.functional.softmax(x, dim=1)
+            return x
+
+    class ModelBuilder:
+        @staticmethod
+        def build_encoder(arch="resnet18dilated", fc_dim=512, weights=""):
+            arch = arch.lower()
+            assert arch in ("resnet18", "resnet18dilated"), arch
+            net = _MITResNet()
+            if arch.endswith("dilated"):
+                net = _dilate(net, 8)
+            if weights:
+                net.load_state_dict(
+                    torch.load(weights, map_location="cpu"), strict=False)
+            return net
+
+        @staticmethod
+        def build_decoder(arch="ppm_deepsup", fc_dim=512, num_class=150,
+                          weights="", use_softmax=False):
+            assert arch.lower() == "ppm_deepsup", arch
+            dec = _PPMDeepsup(num_class, fc_dim, use_softmax)
+            if weights:
+                dec.load_state_dict(
+                    torch.load(weights, map_location="cpu"), strict=False)
+            return dec
+
+    class _YacsNS(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    cfg = _YacsNS(
+        DIR="",
+        MODEL=_YacsNS(arch_encoder="resnet18dilated",
+                      arch_decoder="ppm_deepsup", fc_dim=512,
+                      weights_encoder="", weights_decoder=""),
+        TEST=_YacsNS(checkpoint="epoch_20.pth"),
+        DATASET=_YacsNS(num_class=150),
+    )
+
+    def merge_from_file(path):
+        import yaml
+
+        def merge(ns, d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    sub = ns.get(k)
+                    if not isinstance(sub, _YacsNS):
+                        sub = _YacsNS()
+                        ns[k] = sub
+                    merge(sub, v)
+                else:
+                    ns[k] = v
+
+        with open(path) as f:
+            merge(cfg, yaml.safe_load(f) or {})
+
+    cfg["merge_from_file"] = merge_from_file
+
+    ms = types.ModuleType("mit_semseg")
+    ms_cfg = types.ModuleType("mit_semseg.config")
+    ms_cfg.cfg = cfg
+    ms_models = types.ModuleType("mit_semseg.models")
+    ms_models.ModelBuilder = ModelBuilder
+    ms_lib = types.ModuleType("mit_semseg.lib")
+    ms_lib_nn = types.ModuleType("mit_semseg.lib.nn")
+    ms_lib_nn.SynchronizedBatchNorm2d = SynchronizedBatchNorm2d
+    ms.config, ms.models, ms.lib = ms_cfg, ms_models, ms_lib
+    ms_lib.nn = ms_lib_nn
+    for n, m in [("mit_semseg", ms), ("mit_semseg.config", ms_cfg),
+                 ("mit_semseg.models", ms_models),
+                 ("mit_semseg.lib", ms_lib),
+                 ("mit_semseg.lib.nn", ms_lib_nn)]:
+        sys.modules[n] = m
+
+
 def load_reference_image_modality():
     """The reference's scratch 2D stack — ``Conv2dWS``/``ConvTranspose2dWS``/
     ``ReLUWS``/``ResBlock``/``ResNetDown``/``ResNetUp``/``UnaryConv``/``UNet``
@@ -530,28 +890,8 @@ def load_reference_image_modality():
         cfg.fetch_arguments_from_list = fetch_arguments_from_list
         sys.modules["torch_points3d.utils.config"] = cfg
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.models = types.SimpleNamespace()
-        sys.modules["torchvision"] = tv
-    if "mit_semseg" not in sys.modules:
-        import torch.nn as tnn
-
-        ms = types.ModuleType("mit_semseg")
-        ms_cfg = types.ModuleType("mit_semseg.config")
-        ms_cfg.cfg = types.SimpleNamespace()
-        ms_models = types.ModuleType("mit_semseg.models")
-        ms_models.ModelBuilder = type("ModelBuilder", (), {})
-        ms_lib = types.ModuleType("mit_semseg.lib")
-        ms_lib_nn = types.ModuleType("mit_semseg.lib.nn")
-        ms_lib_nn.SynchronizedBatchNorm2d = tnn.BatchNorm2d
-        ms.config, ms.models, ms.lib = ms_cfg, ms_models, ms_lib
-        ms_lib.nn = ms_lib_nn
-        for n, m in [("mit_semseg", ms), ("mit_semseg.config", ms_cfg),
-                     ("mit_semseg.models", ms_models),
-                     ("mit_semseg.lib", ms_lib),
-                     ("mit_semseg.lib.nn", ms_lib_nn)]:
-            sys.modules[n] = m
+    _install_torchvision_shim()
+    _install_mit_semseg_shim()
     mod = load_reference_module(
         "torch_points3d/modules/multimodal/modalities/image.py", name)
 
@@ -647,3 +987,150 @@ def copy_scratch_unet(sd, tree, down_blocks, up_blocks, has_last=True,
         tree["last"]["conv"]["kernel"] = conv_t2j(
             sd[f"{last_prefix}.conv.weight"], wh)
         tree["last"]["conv"]["bias"] = t2j(sd[f"{last_prefix}.conv.bias"])
+
+
+# ------------------------------------------- preprocessing-chain loader ----
+def load_reference_mm_image_transforms():
+    """The reference's OFFLINE multimodal preprocessing transforms —
+    ``MapImages`` and ``NeighborhoodBasedMappingFeatures``
+    (core/data_transform/multimodal/image.py:162-612) — executed verbatim.
+
+    Environment shims (written from documented/observed semantics):
+      * ``torch_geometric.data.Data`` — attribute-dict container (the
+        handful of behaviors the chain uses: attr get/set/del, ``num_nodes``,
+        ``keys``);
+      * ``SphereSampling``/``CylinderSampling`` — radius queries over a
+        cached sklearn KDTree per transforms.py:301-410 semantics (select
+        per-point tensors, optional origin alignment);
+      * ``FAISSGPUKNNNeighbourFinder`` — import-only stub (the CPU path
+        goes through the dense pykeops ``LazyTensor`` shim instead);
+      * ``torchvision.transforms`` / ``GridSampling3D`` /
+        ``SaveOriginalPosId`` — import-only stubs, untouched by the two
+        transforms under test.
+    """
+    name = "ref_mm_image_transforms"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    import numpy as np
+
+    # real CSR/image/visibility modules under their dotted names
+    load_reference_image()
+
+    class ShimData(dict):
+        """torch_geometric.data.Data stand-in (attribute-style dict)."""
+
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.__dict__ = self
+
+        @property
+        def num_nodes(self):
+            return self["pos"].shape[0]
+
+        @property
+        def keys(self):
+            return list(super().keys())
+
+    tg = sys.modules.get("torch_geometric") or types.ModuleType(
+        "torch_geometric")
+    tg_data = sys.modules.get("torch_geometric.data") or types.ModuleType(
+        "torch_geometric.data")
+    if not hasattr(tg_data, "Data"):
+        tg_data.Data = ShimData
+    sys.modules.setdefault("torch_geometric", tg)
+    sys.modules.setdefault("torch_geometric.data", tg_data)
+
+    from sklearn.neighbors import KDTree
+
+    class SphereSampling:
+        """transforms.py:301-350 semantics: KDTree radius query, cached on
+        the data under KDTREE_KEY; per-point tensors are row-selected."""
+
+        KDTREE_KEY = "kd_tree"
+
+        def __init__(self, radius, sphere_centre, align_origin=True):
+            self._radius = radius
+            self._centre = np.asarray(sphere_centre)
+            if len(self._centre.shape) == 1:
+                self._centre = np.expand_dims(self._centre, 0)
+            self._align_origin = align_origin
+
+        def __call__(self, data):
+            num_points = data.pos.shape[0]
+            if not hasattr(data, self.KDTREE_KEY):
+                tree = KDTree(np.asarray(data.pos), leaf_size=50)
+                setattr(data, self.KDTREE_KEY, tree)
+            else:
+                tree = getattr(data, self.KDTREE_KEY)
+            t_center = torch.FloatTensor(self._centre)
+            ind = torch.LongTensor(
+                tree.query_radius(self._centre, r=self._radius)[0])
+            new_data = tg_data.Data()
+            for key in set(data.keys):
+                if key == self.KDTREE_KEY:
+                    continue
+                item = data[key]
+                if torch.is_tensor(item) and num_points == item.shape[0]:
+                    item = item[ind]
+                    if self._align_origin and key == "pos":
+                        item -= t_center
+                elif torch.is_tensor(item):
+                    item = item.clone()
+                setattr(new_data, key, item)
+            return new_data
+
+    class CylinderSampling(SphereSampling):
+        """transforms.py:353-410: same, XY-plane query (z ignored)."""
+
+        def __call__(self, data):
+            num_points = data.pos.shape[0]
+            key2d = self.KDTREE_KEY + "_2d"
+            if not hasattr(data, key2d):
+                tree = KDTree(np.asarray(data.pos[:, :2]), leaf_size=50)
+                setattr(data, key2d, tree)
+            else:
+                tree = getattr(data, key2d)
+            c = self._centre[:, :2]
+            t_center = torch.FloatTensor(c)
+            ind = torch.LongTensor(tree.query_radius(c, r=self._radius)[0])
+            new_data = tg_data.Data()
+            for key in set(data.keys):
+                if key == key2d:
+                    continue
+                item = data[key]
+                if torch.is_tensor(item) and num_points == item.shape[0]:
+                    item = item[ind]
+                    if self._align_origin and key == "pos":
+                        item[:, :2] -= t_center
+                elif torch.is_tensor(item):
+                    item = item.clone()
+                setattr(new_data, key, item)
+            return new_data
+
+    for p in ("torch_points3d", "torch_points3d.core",
+              "torch_points3d.core.data_transform",
+              "torch_points3d.core.spatial_ops"):
+        _stub_package(p)
+    dt = sys.modules["torch_points3d.core.data_transform"]
+    dt.SphereSampling = SphereSampling
+    dt.CylinderSampling = CylinderSampling
+    dt.GridSampling3D = getattr(dt, "GridSampling3D", object)
+    dt.SaveOriginalPosId = getattr(dt, "SaveOriginalPosId", object)
+    nf = types.ModuleType("torch_points3d.core.spatial_ops.neighbour_finder")
+    nf.FAISSGPUKNNNeighbourFinder = object
+    sys.modules.setdefault(
+        "torch_points3d.core.spatial_ops.neighbour_finder", nf)
+    for tv in ("torchvision", "torchvision.transforms"):
+        sys.modules.setdefault(tv, types.ModuleType(tv))
+
+    # MapImages calls torch.cuda.synchronize() unconditionally for its
+    # timing counters (image.py:240,246,271,299,321,334); CPU-only torch
+    # raises on that, so make it the no-op it would be without a GPU.
+    if not torch.cuda.is_available():
+        torch.cuda.synchronize = lambda *a, **k: None
+
+    mod = load_reference_module(
+        "torch_points3d/core/data_transform/multimodal/image.py", name)
+    mod.Data = tg_data.Data
+    return mod

@@ -16,6 +16,8 @@ eval-time nearest-seen propagation semantics (no3d.py:105-126).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import pytest
 import torch
@@ -82,32 +84,24 @@ def ri2():
     return load_reference_image_modality()
 
 
-def _build_ref_tower(ri2, seed=21):
-    """A published-topology scratch tower (3 ResNetDown, 2 ResNetUp,
-    UnaryConv last) from the reference's own classes, compact-format
-    assembly per image.py:546-572."""
+def _ref_tower_from_table(ri2, down, up, last_nc, seed=21):
+    """A scratch tower from the reference's OWN classes, compact-format
+    assembly per image.py:546-572.  ``down`` rows are
+    (nc_in, nc_out, k, s, p, N); ``up`` rows (nc_in, nc_skip, nc_out, k, s,
+    p, N); ``last_nc`` = (in, out) of the UnaryConv or None."""
     downs = torch.nn.ModuleList([
-        ri2.ResNetDown(down_conv_nn=[3, IN_FEAT], kernel_size=3, stride=1,
-                       padding=1, N=DOWN_N[0], normalization="GroupNorm",
-                       weight_standardization=True),
-        ri2.ResNetDown(down_conv_nn=[IN_FEAT, IN_FEAT], kernel_size=2,
-                       stride=2, padding=0, N=DOWN_N[1],
-                       normalization="GroupNorm",
-                       weight_standardization=True),
-        ri2.ResNetDown(down_conv_nn=[IN_FEAT, 2 * IN_FEAT], kernel_size=2,
-                       stride=2, padding=0, N=DOWN_N[2],
-                       normalization="GroupNorm",
-                       weight_standardization=True),
+        ri2.ResNetDown(down_conv_nn=[a, b], kernel_size=k, stride=s,
+                       padding=p, N=n, normalization="GroupNorm",
+                       weight_standardization=True)
+        for a, b, k, s, p, n in down
     ])
     ups = torch.nn.ModuleList([
-        ri2.ResNetUp(up_conv_nn=[2 * IN_FEAT, IN_FEAT, IN_FEAT],
-                     kernel_size=2, stride=2, padding=0, N=UP_N[0],
-                     normalization="GroupNorm", weight_standardization=True),
-        ri2.ResNetUp(up_conv_nn=[IN_FEAT, IN_FEAT, IN_FEAT], kernel_size=2,
-                     stride=2, padding=0, N=UP_N[1],
-                     normalization="GroupNorm", weight_standardization=True),
+        ri2.ResNetUp(up_conv_nn=[a, sk, b], kernel_size=k, stride=s,
+                     padding=p, N=n, normalization="GroupNorm",
+                     weight_standardization=True)
+        for a, sk, b, k, s, p, n in up
     ])
-    last = ri2.UnaryConv(IN_FEAT, C2)
+    last = ri2.UnaryConv(*last_nc) if last_nc else None
 
     class Tower(torch.nn.Module):
         def __init__(self):
@@ -125,11 +119,21 @@ def _build_ref_tower(ri2, seed=21):
             for up in self.up_modules:
                 skip = stack.pop(-1) if stack else None
                 x = up(x, skip)
-            return self.last(x)
+            return self.last(x) if self.last is not None else x
 
     tower = Tower()
     randomize_torch_module(tower, seed=seed)
     return tower
+
+
+def _build_ref_tower(ri2, seed=21):
+    """The small 3-down/2-up/UnaryConv tower the composed tests use."""
+    down = ((3, IN_FEAT, 3, 1, 1, DOWN_N[0]),
+            (IN_FEAT, IN_FEAT, 2, 2, 0, DOWN_N[1]),
+            (IN_FEAT, 2 * IN_FEAT, 2, 2, 0, DOWN_N[2]))
+    up = ((2 * IN_FEAT, IN_FEAT, IN_FEAT, 2, 2, 0, UP_N[0]),
+          (IN_FEAT, IN_FEAT, IN_FEAT, 2, 2, 0, UP_N[1]))
+    return _ref_tower_from_table(ri2, down, up, (IN_FEAT, C2), seed=seed)
 
 
 def _repo_tower_cfg():
@@ -252,3 +256,96 @@ def test_no3d_eval_unseen_propagation(refm, refp, reff, ri, ri2):
 
     got = propagate_unseen(my_logp, pos, my_seen)
     np.testing.assert_allclose(got, want, **TOL)
+
+
+# --------------------------------------------------------------------------
+# Ingested published entry: ref:no3d/Res16UNet21-15_light executes with the
+# parity-pinned scratch stack and matches the reference model end to end
+# (VERDICT r4 missing #2 done-criterion).
+# --------------------------------------------------------------------------
+
+# the published light tower, stated literally from no3d.yaml:14-51
+# (in_feat=32, in_feat_img=4, strided k/s/p = 2/2/0):
+LIGHT_DOWN = ((4, 32, 3, 1, 1, 0), (32, 32, 2, 2, 0, 2),
+              (32, 64, 2, 2, 0, 2), (64, 128, 2, 2, 0, 2),
+              (128, 256, 2, 2, 0, 2))
+LIGHT_UP = ((256, 128, 128, 2, 2, 0, 1), (128, 64, 96, 2, 2, 0, 1),
+            (96, 32, 64, 2, 2, 0, 1), (64, 32, 32, 2, 2, 0, 1),
+            (32, 0, 32, 3, 1, 1, 1))
+NO3D_YAML = "/root/reference/conf/models/segmentation/multimodal/no3d.yaml"
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_ingested_light_entry_parity(refm, refp, reff, ri, ri2, train):
+    """`ref:no3d/Res16UNet21-15_light` — the spec the CLI trains — builds the
+    reference-exact scratch UNet (last_conv emits N_CLS logits, NO head,
+    class no3d.No3DLogitFusion) and its composed forward matches the
+    executed reference chain <=1e-5."""
+    from deepviewagg_tpu.config.reference_ingest import load_model_spec
+
+    spec = load_model_spec(NO3D_YAML, "Res16UNet21-15_light",
+                           num_classes=N_CLS, in_channels=3)
+    (lvl, b), = spec.branches
+    # the ingested entry IS the parity-pinned stack with the published plan
+    assert b.tower == "scratch_unet"
+    assert b.tower_cfg == (LIGHT_DOWN, LIGHT_UP, N_CLS)
+    assert b.tower_norm == "group" and b.tower_ws
+    assert (b.out_channels, b.atomic_reduce, b.view_pool,
+            b.interpolate) == (N_CLS, "max", "mean", False)
+    assert spec.no3d_head is False
+
+    # /16 for the four stride-2 stages; bottleneck 4x2 (reflect pad 1 needs
+    # spatial dims >= 2)
+    W2, H2 = 64, 32
+    rng = np.random.default_rng(41)
+    n_img, n_rows = 2, 260
+    rows = _dense_rows(rng, n_img, W2, H2, n_rows)
+    sid = _make_sid(ri, rng, rows, n_img, W2, H2, scale=1)
+    # in_feat_img=4: RGB + pixel height (AddPixelHeightFeature)
+    images_t = torch.from_numpy(
+        rng.normal(size=(n_img, 4, H2, W2)).astype(np.float32))
+    sid.x = images_t.clone()
+
+    # --- reference: its own tower/branch/block, headless + log_softmax ----
+    tower = _ref_tower_from_table(ri2, LIGHT_DOWN, LIGHT_UP, (32, N_CLS),
+                                  seed=43)
+    branch = refm.UnimodalBranch(
+        tower,
+        refp.BimodalCSRPool(mode="max"),
+        refp.BimodalCSRPool(mode="mean"),
+        reff.BimodalFusion(mode="modality"),
+        interpolate=False)
+    block = refm.MultimodalBlockDown(None, None, image=branch)
+    block.train(train)
+    x3d = rng.normal(size=(N_PTS, 3)).astype(np.float32)
+    mm = {"x_3d": torch.from_numpy(x3d.copy()), "x_seen": None,
+          "modalities": {"image": ri.ImageData([sid.clone()])}}
+    with torch.no_grad():
+        mm = block(mm)
+        ref_logp = F.log_softmax(mm["x_3d"], dim=-1).numpy()
+    ref_seen = mm["x_seen"].numpy()
+
+    # --- this repo: the ingested spec with transplanted weights -----------
+    # f32 towers for numeric comparison: tower_bf16=True is the deliberate
+    # TPU production default, ~1e-2 off torch-f32 — not a fidelity signal
+    spec = dataclasses.replace(
+        spec, branches=((lvl, dataclasses.replace(b, tower_bf16=False)),))
+    model = build_model(spec)
+    images = jnp.asarray(images_t.numpy().transpose(0, 3, 2, 1))  # IWHC
+    mapping = _flat_mapping([rows], [0])
+    batch = {"feats": jnp.asarray(x3d), "images": images,
+             "mappings": {0: mapping}}
+    variables = unfreeze(model.init(jax.random.PRNGKey(0), batch,
+                                    train=False))
+    assert "head" not in variables["params"], "logit fusion has no head"
+    copy_scratch_unet(tower.state_dict(),
+                      variables["params"]["branch"]["tower"],
+                      [r[-1] for r in LIGHT_DOWN],
+                      [r[-1] for r in LIGHT_UP], wh=True)
+    out = model.apply(variables, batch, train=train)
+    my_logp = np.asarray(jax.nn.log_softmax(out["logits"], axis=-1))
+    np.testing.assert_array_equal(np.asarray(out["x_seen"]), ref_seen)
+    np.testing.assert_allclose(my_logp, ref_logp, **TOL)
+    # LogitFusion + keep_last_view: the per-view logits the view loss
+    # consumes are the pooled view values themselves (head = identity)
+    assert out["view_logits"].shape[-1] == N_CLS
