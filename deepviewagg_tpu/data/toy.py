@@ -49,7 +49,7 @@ def flagship_spec(
                 # early fusion is pre-stem; the reference's early models all
                 # CONCAT there (residual early would bottleneck through the
                 # raw feature width)
-                fusion_mode="concat", remat_tower=True,
+                fusion_mode="concat", remat_tower="convs",
             )),
         ),
     )

@@ -13,7 +13,7 @@ Pure gathers + lerps: XLA fuses these into the surrounding branch compute.
 All taps index a FLATTENED ``[I*Wf*Hf, C]`` view with one precombined int32
 row index instead of three index vectors: XLA's TPU gather runs ~1.5x
 faster on a single trailing-dim-contiguous index (measured 31 -> 21 ms
-fwd+bwd on the 931k-pixel recipe bucket, PERF.md round 4), and the
+fwd+bwd on the 931k-pixel recipe bucket, PERF.md "Round 4: flat-index pixel gathers"), and the
 backward scatter-add inherits the same layout.
 """
 

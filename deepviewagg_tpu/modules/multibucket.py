@@ -116,7 +116,7 @@ class MultiBucketBranch(nn.Module):
         scale 1 per the reference's ``interpolate and scale != 1`` guard).
 
         Flat-index taps on a ``[I*Wf*Hf, C]`` view — single int32 index
-        vector, ~1.5x faster gather + backward scatter (PERF.md round 4)."""
+        vector, ~1.5x faster gather + backward scatter (PERF.md "Round 4: flat-index pixel gathers")."""
         i_cap, wf, hf, _ = feature_maps.shape
         w, h = ref_size
         img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0, i_cap - 1)

@@ -102,8 +102,10 @@ def time_tower(images_list, tag, remat, with_ppm=True, bf16=True):
     from deepviewagg_tpu.models.segmentation import make_tower
     from deepviewagg_tpu.modules.image_encoders import run_tower
 
-    fac, _ = make_tower("resnet18_ppm" if with_ppm else "resnet18", "group",
-                        False)
+    # 'resnet18_l4' is the dilated trunk the PPM head wraps — the registry
+    # has no bare 'resnet18' alias (ADVICE r4)
+    fac, _ = make_tower("resnet18_ppm" if with_ppm else "resnet18_l4",
+                        "group", False)
     tower = fac()
     params = jax.jit(
         lambda im: tower.init(jax.random.PRNGKey(0), im, True)
