@@ -21,7 +21,7 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 # bump when a new round starts; stamps newly-seeded baselines
-CURRENT_ROUND = 4
+CURRENT_ROUND = 5
 
 
 CACHE = os.path.join(os.path.dirname(__file__), "bench_batch.npz")
@@ -187,6 +187,46 @@ def _backend_alive_with_retries() -> bool:
     return False
 
 
+# bf16 peak matmul TFLOP/s per chip by device_kind substring (public specs;
+# first match wins, so newer/longer names come first)
+_PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),       # v6e Trillium
+    ("v5p", 459.0),
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5litepod", 197.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def _mfu_stats(lowered, dt):
+    """Roofline accounting (VERDICT r4 next #1b): XLA's own FLOP count of
+    the compiled step (post-fusion, so remat recompute is included) ->
+    achieved TFLOP/s and MFU vs the chip's bf16 peak.  ``cost_analysis`` is
+    a best-effort PJRT API — returns {} where unsupported (e.g. some
+    tunneled backends)."""
+    import jax
+
+    try:
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        return {}
+    if flops <= 0 or dt <= 0:
+        return {}
+    achieved = flops / dt / 1e12
+    out = {"step_tflops": round(flops / 1e12, 3),
+           "achieved_tflops_per_sec": round(achieved, 2)}
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub in kind:
+            out["mfu_vs_bf16_peak"] = round(achieved / peak, 4)
+            break
+    return out
+
+
 def main():
     if not _backend_alive_with_retries():
         print(json.dumps({
@@ -272,6 +312,7 @@ def main():
 
     # --- recipe-scale 2D: 1024x512 panoramas through the crop ladder ------
     recipe_value = None
+    recipe_mfu = {}
     try:
         rbatch = _get_recipe_batch()
         rn_valid = rbatch.pop("meta")["num_valid"]
@@ -293,6 +334,8 @@ def main():
 
         recipe_value = rn_valid / measure(recipe_chain, short=2, long_=6,
                                           reps=2)
+        recipe_mfu = _mfu_stats(rstep.lower(rstate, rbatch, rng),
+                                rn_valid / recipe_value)
     except Exception as e:  # keep the primary metric alive on OOM etc.
         print(f"recipe-scale bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -346,6 +389,8 @@ def main():
         rb = base_val("recipe2d_train_value")
         if rb:
             result["recipe2d_vs_baseline"] = round(recipe_value / rb, 4)
+        for k, v in recipe_mfu.items():
+            result[f"recipe2d_{k}"] = v
     print(json.dumps(result))
 
 

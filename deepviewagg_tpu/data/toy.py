@@ -50,6 +50,11 @@ def flagship_spec(
                 # CONCAT there (residual early would bottleneck through the
                 # raw feature width)
                 fusion_mode="concat", remat_tower="convs",
+                # pool_bf16 stays off: bf16 gather+atomic-pool measured
+                # perf-NEUTRAL at recipe shapes (217 vs 213 ms, tunnel
+                # noise) — the gather engine is row-bound, not
+                # bandwidth-bound, so halving row bytes buys nothing and
+                # f32 keeps strict-parity pooling (PERF.md round 5)
             )),
         ),
     )

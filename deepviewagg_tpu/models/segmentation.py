@@ -76,6 +76,9 @@ class BranchSpec:
     # bf16 tower activations (f32 params/accumulation) — halves the tower's
     # HBM traffic on TPU; set False for strict f32 parity runs
     tower_bf16: bool = True
+    # bf16 pixel gather + atomic pool too (per-view features upcast to f32
+    # before the view pool) — the HBM-bound stage at recipe pixel counts
+    pool_bf16: bool = False
     # map-feature set encoder inside the group attention pool
     # (ref map_encoder: DeepSetFeat | MinMaxDiffSetFeat, pooling.py:372)
     set_encoder: str = "deepset"
@@ -338,6 +341,7 @@ class MultimodalSeg(nn.Module):
                         remat_tower=spec.remat_tower,
                         frozen=spec.frozen,
                         tower_bf16=spec.tower_bf16,
+                        pool_bf16=spec.pool_bf16,
                         name=name,
                     )
                     x, seen = branch(x, mm, train=train,
@@ -368,6 +372,7 @@ class MultimodalSeg(nn.Module):
                         remat_tower=spec.remat_tower,
                         frozen=spec.frozen,
                         tower_bf16=spec.tower_bf16,
+                        pool_bf16=spec.pool_bf16,
                         name=name,
                     )
                     # a shared-trunk tap is already a feature map — the
@@ -455,6 +460,7 @@ class No3DSeg(nn.Module):
                 remat_tower=bspec.remat_tower,
                 keep_last_view=(k == 0), frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
+                pool_bf16=bspec.pool_bf16,
                 name="branch" if k == 0 else f"branch_{k}",
             )
             pooled_k, seen_k, ex_k = branch(
@@ -542,6 +548,7 @@ class LateFusionSeg(nn.Module):
                 drop_hard=bspec.drop_hard,
                 remat_tower=bspec.remat_tower, frozen=bspec.frozen,
                 tower_bf16=bspec.tower_bf16,
+                pool_bf16=bspec.pool_bf16,
                 name="branch" if k == 0 else f"branch_{k}",
             )
             # the reference threads the 3D backbone's OUTPUT features into

@@ -111,6 +111,9 @@ class UnimodalBranch(nn.Module):
     # bf16 tower activations (params/accumulation stay f32); the pooling
     # and fusion math downstream is always f32
     tower_bf16: bool = True
+    # keep the pixel gather + atomic pool in bf16 too (HBM-bound at recipe
+    # pixel counts); per-view features upcast to f32 before the view pool
+    pool_bf16: bool = False
 
     @nn.compact
     def __call__(
@@ -134,6 +137,7 @@ class UnimodalBranch(nn.Module):
             feats_2d = run_tower(
                 self.tower(), images, train, remat=self.remat_tower,
                 frozen=self.frozen, bf16=self.tower_bf16,
+                out_f32=not (self.pool_bf16 and self.tower_bf16),
             )
         else:
             feats_2d = images
@@ -145,7 +149,7 @@ class UnimodalBranch(nn.Module):
         x_view = seg.segment_reduce(
             pix_feats, mapping["pix_view"], vc + 1, self.atomic_reduce,
             valid=mapping["pix_valid"], ptr=mapping.get("pix_ptr"),
-        )[:vc]
+        )[:vc].astype(jnp.float32)
 
         # --- views -> points (view pool) ---------------------------------
         pid = mapping["point_id"]

@@ -36,8 +36,11 @@ def _bilinear(maps, img_id, xf, yf):
     base = img_id * (w * h)
     x0 = jnp.floor(xf).astype(jnp.int32)
     y0 = jnp.floor(yf).astype(jnp.int32)
-    tx = (xf - x0)[:, None]
-    ty = (yf - y0)[:, None]
+    # weights in the MAP dtype: bf16 maps keep the whole lerp (and its
+    # backward scatter-add) at half the HBM traffic instead of silently
+    # promoting every tap product to f32
+    tx = (xf - x0)[:, None].astype(maps.dtype)
+    ty = (yf - y0)[:, None].astype(maps.dtype)
 
     def tap(xi, yi):
         return flat[base + jnp.clip(xi, 0, w - 1) * h + jnp.clip(yi, 0, h - 1)]

@@ -130,7 +130,8 @@ def view_shard_axis(name: Optional[str]):
 
 
 def run_tower(tower, images, train: bool, *, remat=False,
-              frozen: bool = False, bf16: bool = True):
+              frozen: bool = False, bf16: bool = True,
+              out_f32: bool = True):
     """Shared tower driver for the branch modules: optional bf16 activation
     policy (params stay f32, conv accumulation stays f32 on the MXU; the
     inter-layer buffers — the HBM-bound term at recipe image sizes — halve),
@@ -191,9 +192,14 @@ def run_tower(tower, images, train: bool, *, remat=False,
         y = tmap(
             lambda t: jax.lax.all_gather(t, axis, axis=0, tiled=True)[:n_img],
             apply(local))
-    y = tmap(lambda t: t.astype(jnp.float32), y)
+    # out_f32=False keeps the tower's bf16 maps for the downstream pixel
+    # gather + atomic pool (HBM-bound at recipe pixel counts: halving the
+    # materialized [Q, C] taps and their backward scatter-adds is the
+    # cheapest bandwidth win; the view pool upcasts to f32 after)
+    if out_f32:
+        y = tmap(lambda t: t.astype(jnp.float32), y)
     if frozen:
-        y = jax.lax.stop_gradient(y)
+        y = tmap(jax.lax.stop_gradient, y)
     return y
 
 

@@ -49,6 +49,10 @@ class MultiBucketBranch(nn.Module):
     # activations otherwise dominate HBM
     remat_tower: Any = False   # False | True | 'convs' (run_tower)
     tower_bf16: bool = True       # bf16 tower activations (see branch.py)
+    # keep the pixel gather + atomic pool in bf16 (the HBM-bound stage at
+    # recipe pixel counts); the per-view features upcast to f32 before the
+    # view pool, so attention/fusion math is unchanged
+    pool_bf16: bool = False
 
     @nn.compact
     def __call__(self, x_3d, mm: Dict, train: bool = True,
@@ -74,6 +78,7 @@ class MultiBucketBranch(nn.Module):
                 feats_2d = run_tower(
                     tower, images, train, remat=self.remat_tower,
                     frozen=self.frozen, bf16=self.tower_bf16,
+                    out_f32=not (self.pool_bf16 and self.tower_bf16),
                 )
             else:
                 feats_2d = images
@@ -83,7 +88,7 @@ class MultiBucketBranch(nn.Module):
                 pix_feats, bucket["pix_view"], vc + 1, self.atomic_reduce,
                 valid=bucket["pix_valid"], ptr=bucket.get("pix_ptr"),
             )[:vc]
-            partials.append(partial)
+            partials.append(partial.astype(jnp.float32))
         assert partials, "no bucket carries images"
         x_view = sum(partials)
 
@@ -132,8 +137,10 @@ class MultiBucketBranch(nn.Module):
         yf = jnp.asarray(bucket["pix_y"], jnp.float32) / max(h - 1, 1) * hf - 0.5
         x0 = jnp.floor(xf).astype(jnp.int32)
         y0 = jnp.floor(yf).astype(jnp.int32)
-        tx = (xf - x0)[:, None]
-        ty = (yf - y0)[:, None]
+        # map-dtype weights: keep bf16 maps bf16 through the lerp (see
+        # modules/gather.py)
+        tx = (xf - x0)[:, None].astype(feature_maps.dtype)
+        ty = (yf - y0)[:, None].astype(feature_maps.dtype)
 
         def tap(xi, yi):
             return flat[base + jnp.clip(xi, 0, wf - 1) * hf

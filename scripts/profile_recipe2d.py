@@ -181,28 +181,45 @@ def main():
     lvl, br = spec.branches[0]
 
     results = {}
-    # --- tower microbench: remat x ppm grid -------------------------------
-    for remat in (True, "convs", False):
-        for ppm in (True, False):
-            tag = f"tower remat={remat} ppm={int(ppm)}"
-            results[tag] = time_tower(imgs, tag, remat, with_ppm=ppm)
+    # --- tower microbench: remat x ppm grid (opt-in: --towers) ------------
+    if "--towers" in sys.argv:
+        for remat in (True, "convs", False):
+            for ppm in (True, False):
+                tag = f"tower remat={remat} ppm={int(ppm)}"
+                results[tag] = time_tower(imgs, tag, remat, with_ppm=ppm)
 
     # --- full model variants ----------------------------------------------
     import dataclasses
 
-    def with_remat(r):
+    def with_branch(**kw):
         return dataclasses.replace(
-            spec, branches=((lvl, dataclasses.replace(br, remat_tower=r)),))
+            spec, branches=((lvl, dataclasses.replace(br, **kw)),))
 
     variants = {
-        "full remat=1": spec,
-        "full remat=convs": with_remat("convs"),
-        "full remat=0": with_remat(False),
+        "full remat=convs": spec,
         "3d-only": dataclasses.replace(spec, branches=()),
     }
+    if "--remat" in sys.argv:
+        variants["full remat=1"] = with_branch(remat_tower=True)
+        variants["full remat=0"] = with_branch(remat_tower=False)
+    if "--residual" in sys.argv:
+        # decompose the non-tower non-3D residual: each variant removes ONE
+        # ingredient of the 2D branch's glue (PERF.md round 5 step budget)
+        variants["pool=mean (no group attention)"] = with_branch(
+            view_pool="mean", gated=False)
+        variants["interpolate=off (1 tap not 4)"] = with_branch(
+            interpolate=False)
+        variants["frozen tower (no tower bwd)"] = with_branch(frozen=True)
+        variants["tower=None (gather raw pixels)"] = with_branch(
+            tower=None, out_channels=3)
+        variants["pool=bf16 (bf16 gather+atomic)"] = with_branch(
+            pool_bf16=True)
     for tag, sp in variants.items():
         model = MultimodalSeg(sp)
-        results[tag + " fwd"] = time_forward(model, rbatch, n_valid, tag)
+        # ablation variants only need the train-step number (fwd adds a
+        # whole extra compile each at recipe scale)
+        if tag in ("full remat=convs", "3d-only"):
+            results[tag + " fwd"] = time_forward(model, rbatch, n_valid, tag)
         results[tag + " train"] = time_train(model, rbatch, n_valid, tag)
 
     print("\n=== summary ===")
