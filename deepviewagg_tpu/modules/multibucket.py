@@ -120,8 +120,10 @@ class MultiBucketBranch(nn.Module):
         scale by the feature-map size, border padding; EXACT indexing at
         scale 1 per the reference's ``interpolate and scale != 1`` guard).
 
-        Flat-index taps on a ``[I*Wf*Hf, C]`` view — single int32 index
-        vector, ~1.5x faster gather + backward scatter (PERF.md "Round 4: flat-index pixel gathers")."""
+        Scale-1 fast path: flat-index rows on a ``[I*Wf*Hf, C]`` view
+        (PERF.md "Round 4: flat-index pixel gathers"); bilinear path: ONE
+        (2,2,C)-patch gather shared with :func:`modules.gather._bilinear`
+        (PERF.md round 5)."""
         i_cap, wf, hf, _ = feature_maps.shape
         w, h = ref_size
         img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0, i_cap - 1)
@@ -133,21 +135,9 @@ class MultiBucketBranch(nn.Module):
             out = flat[idx]
             return out * jnp.asarray(
                 bucket["pix_valid"])[:, None].astype(out.dtype)
+        from .gather import _bilinear
+
         xf = jnp.asarray(bucket["pix_x"], jnp.float32) / max(w - 1, 1) * wf - 0.5
         yf = jnp.asarray(bucket["pix_y"], jnp.float32) / max(h - 1, 1) * hf - 0.5
-        x0 = jnp.floor(xf).astype(jnp.int32)
-        y0 = jnp.floor(yf).astype(jnp.int32)
-        # map-dtype weights: keep bf16 maps bf16 through the lerp (see
-        # modules/gather.py)
-        tx = (xf - x0)[:, None].astype(feature_maps.dtype)
-        ty = (yf - y0)[:, None].astype(feature_maps.dtype)
-
-        def tap(xi, yi):
-            return flat[base + jnp.clip(xi, 0, wf - 1) * hf
-                        + jnp.clip(yi, 0, hf - 1)]
-
-        out = (tap(x0, y0) * (1 - tx) * (1 - ty)
-               + tap(x0 + 1, y0) * tx * (1 - ty)
-               + tap(x0, y0 + 1) * (1 - tx) * ty
-               + tap(x0 + 1, y0 + 1) * tx * ty)
+        out = _bilinear(feature_maps, img_id, xf, yf)
         return out * jnp.asarray(bucket["pix_valid"])[:, None].astype(out.dtype)
