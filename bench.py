@@ -199,7 +199,7 @@ _PEAK_BF16_TFLOPS = (
 )
 
 
-def _mfu_stats(lowered, dt):
+def _mfu_stats(compiled, dt):
     """Roofline accounting (VERDICT r4 next #1b): XLA's own FLOP count of
     the compiled step (post-fusion, so remat recompute is included) ->
     achieved TFLOP/s and MFU vs the chip's bf16 peak.  ``cost_analysis`` is
@@ -208,7 +208,7 @@ def _mfu_stats(lowered, dt):
     import jax
 
     try:
-        ca = lowered.compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -321,8 +321,12 @@ def main():
             jax.random.PRNGKey(0), rbatch, train=False
         )
         rstate = TrainState.create(rvars, tx)
-        rstep = jax.jit(make_train_step(model), donate_argnums=(0,))
-        rstate, _ = rstep(rstate, rbatch, rng)   # compile + one execution
+        # AOT compile so the SAME executable serves execution and
+        # cost_analysis (lowering again after the first donated call would
+        # touch deleted buffers and could recompile)
+        rstep = jax.jit(make_train_step(model), donate_argnums=(0,)) \
+            .lower(rstate, rbatch, rng).compile()
+        rstate, _ = rstep(rstate, rbatch, rng)   # one execution
 
         def recipe_chain(k):
             nonlocal rstate
@@ -334,8 +338,7 @@ def main():
 
         recipe_value = rn_valid / measure(recipe_chain, short=2, long_=6,
                                           reps=2)
-        recipe_mfu = _mfu_stats(rstep.lower(rstate, rbatch, rng),
-                                rn_valid / recipe_value)
+        recipe_mfu = _mfu_stats(rstep, rn_valid / recipe_value)
     except Exception as e:  # keep the primary metric alive on OOM etc.
         print(f"recipe-scale bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
