@@ -204,10 +204,15 @@ def build_mappings(
     else:
         d2, nn_idx = _knn.knn(pos, pos, k=k)
         d2_max = d2[:, -1]
-    # ref: v_sphere = 3.1416 * d2_max; NaN densities -> 1 (image.py:537-543)
+    # ref: v_sphere = 3.1416 * d2_max; NaN densities -> 1 (image.py:537-543).
+    # The reference's isnan guard lets +inf through (d2_max == 0 never
+    # happens on its dupe-free voxelized clouds); raw clouds CAN carry
+    # coincident points, and an inf density feature poisons the whole view
+    # pool — guard all non-finite values to the same 1.0 (identical result
+    # wherever the reference path is finite).
     with np.errstate(divide="ignore", invalid="ignore"):
         density = ((k + 1) / (3.1416 * d2_max)) * (params.voxel ** 2)
-    density = np.where(np.isnan(density), 1.0, density).astype(np.float32)
+    density = np.where(np.isfinite(density), density, 1.0).astype(np.float32)
     # occlusion[p, i] = (1 + sum_j seen[nn[p, j], i]) / (k + 1)
     occlusion = (1.0 + seen_matrix[nn_idx].sum(axis=1)) / (k + 1)
 

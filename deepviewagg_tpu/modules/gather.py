@@ -10,18 +10,17 @@ its two modes:
 
 Pure gathers + lerps: XLA fuses these into the surrounding branch compute.
 
-Nearest-mode taps index a FLATTENED ``[I*Wf*Hf, C]`` view with one
-precombined int32 row index (PERF.md "Round 4: flat-index pixel gathers");
-the bilinear mode gathers its whole 2x2 tap footprint as ONE
-(2,2,C)-slice gather on an ``[I*Wf, Hf, C]`` view — 1/4 the index rows on
-a row-issue-bound gather engine, and the backward collapses from four row
-scatter-adds to one patch scatter-add (PERF.md round 5).
+All taps index a FLATTENED ``[I*Wf*Hf, C]`` view with one precombined int32
+row index (PERF.md "Round 4: flat-index pixel gathers").  A single
+(2,2,C)-slice gather for the whole bilinear footprint was tried and
+REVERTED: XLA-TPU lowers multi-dim slice gathers ~60x slower than row
+gathers (1926 ms vs 24 ms fwd at the 931k-row recipe bucket — PERF.md
+round 5), even though the same shape wins 2.5x on CPU.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 __all__ = ["gather_pixel_features"]
 
@@ -32,57 +31,27 @@ def _bilinear(maps, img_id, xf, yf):
     Border (replication) padding outside the map — the reference
     ``sparse_interpolation`` default (image.py:105 ``padding_mode='border'``):
     out-of-range taps clamp to the edge pixel while the bilinear weights keep
-    their unclamped distances.
-
-    ONE (2,2,C)-slice gather on an ``[I*W, H, C]`` view instead of four
-    row gathers: the 2x2 tap footprint is contiguous in both the x (dim 0)
-    and y (dim 1) directions, and TPU's gather engine is ROW-issue-bound
-    (~6 cycles/row regardless of width — PERF.md round 5 trace), so 1/4 the
-    index rows with 4x the payload is near-free.  The backward becomes ONE
-    scatter-add of (2,2,C) patches instead of four row scatter-adds — the
-    single largest term in the recipe-scale train step (12.8 ms x4).
-    Border clamping moves into the WEIGHTS: the patch origin is clamped to
-    [0, size-2] and the high-tap weight folds to 0/1 outside, which equals
-    clamping each tap index (both taps land on the edge row).
-    """
+    their unclamped distances."""
     _, w, h, _ = maps.shape
+    flat = maps.reshape(-1, maps.shape[-1])
+    base = img_id * (w * h)
     x0 = jnp.floor(xf).astype(jnp.int32)
     y0 = jnp.floor(yf).astype(jnp.int32)
     # weights in the MAP dtype: bf16 maps keep the whole lerp (and its
     # backward scatter-add) at half the HBM traffic instead of silently
     # promoting every tap product to f32
-    tx = (xf - x0).astype(maps.dtype)
-    ty = (yf - y0).astype(maps.dtype)
-    if w < 2 or h < 2:  # degenerate maps: no 2x2 patch exists
-        flat = maps.reshape(-1, maps.shape[-1])
-        base = img_id * (w * h)
+    tx = (xf - x0)[:, None].astype(maps.dtype)
+    ty = (yf - y0)[:, None].astype(maps.dtype)
 
-        def tap(xi, yi):
-            return flat[base + jnp.clip(xi, 0, w - 1) * h
-                        + jnp.clip(yi, 0, h - 1)]
+    def tap(xi, yi):
+        return flat[base + jnp.clip(xi, 0, w - 1) * h + jnp.clip(yi, 0, h - 1)]
 
-        tx, ty = tx[:, None], ty[:, None]
-        return (tap(x0, y0) * (1 - tx) * (1 - ty)
-                + tap(x0 + 1, y0) * tx * (1 - ty)
-                + tap(x0, y0 + 1) * (1 - tx) * ty
-                + tap(x0 + 1, y0 + 1) * tx * ty)
-    # fold the border clamp into the high-tap weight: x0 < 0 -> both taps
-    # row 0 (weight 0 on the high tap of the [0,1] patch); x0 >= w-1 ->
-    # both taps row w-1 (weight 1 on the high tap of the [w-2,w-1] patch)
-    wx1 = jnp.where(x0 < 0, 0, jnp.where(x0 >= w - 1, 1, tx))
-    wy1 = jnp.where(y0 < 0, 0, jnp.where(y0 >= h - 1, 1, ty))
-    starts = jnp.stack(
-        [img_id * w + jnp.clip(x0, 0, w - 2), jnp.clip(y0, 0, h - 2)], axis=1)
-    dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    patch = lax.gather(
-        maps.reshape(-1, h, maps.shape[-1]), starts, dn,
-        slice_sizes=(2, 2, maps.shape[-1]),
-        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)      # [Q, 2, 2, C]
-    wx = jnp.stack([1 - wx1, wx1], axis=1)                 # [Q, 2]
-    wy = jnp.stack([1 - wy1, wy1], axis=1)
-    return (patch * (wx[:, :, None] * wy[:, None, :])[..., None]).sum((1, 2))
+    return (
+        tap(x0, y0) * (1 - tx) * (1 - ty)
+        + tap(x0 + 1, y0) * tx * (1 - ty)
+        + tap(x0, y0 + 1) * (1 - tx) * ty
+        + tap(x0 + 1, y0 + 1) * tx * ty
+    )
 
 
 def gather_pixel_features(

@@ -121,9 +121,10 @@ class MultiBucketBranch(nn.Module):
         scale 1 per the reference's ``interpolate and scale != 1`` guard).
 
         Scale-1 fast path: flat-index rows on a ``[I*Wf*Hf, C]`` view
-        (PERF.md "Round 4: flat-index pixel gathers"); bilinear path: ONE
-        (2,2,C)-patch gather shared with :func:`modules.gather._bilinear`
-        (PERF.md round 5)."""
+        (PERF.md "Round 4: flat-index pixel gathers"); bilinear path: 4
+        flat-index tap gathers shared with :func:`modules.gather._bilinear`
+        (a (2,2,C)-patch gather was tried and reverted — 60x slower on
+        TPU, PERF.md round 5)."""
         i_cap, wf, hf, _ = feature_maps.shape
         w, h = ref_size
         img_id = jnp.clip(jnp.asarray(bucket["pix_image"]), 0, i_cap - 1)

@@ -26,8 +26,9 @@ each segment's last row:
 Everything is computed with plain adds/maxes — both reductions are
 bit-exact (no MXU bf16 truncation), which the max VJP relies on (argmax by
 equality).  Custom VJPs keep the backward scatter-free: d(sum) is a gather;
-d(max) recomputes the argmax mask and splits among ties (jnp.max
-semantics).
+d(max) recomputes the argmax mask by equality with ONE combined
+(max, cotangent) gather — sum-subgradient tie convention, matching
+``ops/segment._segment_max_core``.
 """
 
 from __future__ import annotations
@@ -198,16 +199,17 @@ def _max_fwd(x, segment_ids, num_segments, valid=None, ptr=None):
 
 def _max_bwd(num_segments, res, g):
     x, segment_ids, valid, ptr, out = res
-    picked = out[jnp.minimum(segment_ids, num_segments - 1)]
-    mask = x == picked                       # exact: scan never rounds
+    sid = jnp.minimum(segment_ids, num_segments - 1)
+    # ONE combined gather of (max, cotangent) — same sum-subgradient tie
+    # convention as ops.segment._segment_max_core (every max-attaining row
+    # receives the full cotangent); saves the tie-count kernel run + gather
+    # the old split-among-ties backward paid.
+    comb = jnp.concatenate([out, g.astype(out.dtype)], axis=-1)[sid]
+    c = out.shape[-1]
+    mask = x == comb[..., :c]                # exact: scan never rounds
     if valid is not None:
         mask = mask & valid[:, None]
-    # split among ties (jnp.max VJP semantics); tie counts per segment
-    ties = _run(mask.astype(jnp.float32), segment_ids, num_segments, valid,
-                "sum", ptr)
-    denom = jnp.maximum(ties[jnp.minimum(segment_ids, num_segments - 1)], 1.0)
-    gx = jnp.where(mask, g[jnp.minimum(segment_ids, num_segments - 1)] / denom,
-                   0.0)
+    gx = jnp.where(mask, comb[..., c:].astype(x.dtype), 0.0)
     return gx, None, None, None
 
 

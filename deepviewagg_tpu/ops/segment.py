@@ -19,9 +19,11 @@ Implementation notes:
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = [
     "segment_sum",
@@ -111,14 +113,61 @@ def segment_mean(x, segment_ids, num_segments: int, valid=None, ptr=None):
     return s / jnp.maximum(n, 1.0)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _segment_max_core(xm, segment_ids, num_segments: int):
+    """``jax.ops.segment_max`` with a ONE-gather backward.
+
+    The stock VJP of ``segment_max`` (a scatter-max) emits ~6 row gathers
+    plus 2 row scatter-adds of ``[E, C]`` to implement split-gradient-among-
+    ties — 28 ms/step at the recipe shape's 931k-row atomic pool, the
+    second-largest term in the round-5 trace (PERF.md).  TPU's gather engine
+    is row-issue-bound, so the custom backward concatenates the per-segment
+    max and the cotangent into one ``[S, 2C]`` table and does a SINGLE
+    ``[E, 2C]`` gather: rows where ``x`` attains its segment max receive the
+    cotangent, others 0.
+
+    Tie convention: every element attaining the max receives the FULL
+    cotangent (sum subgradient), vs jax's 1/count split and torch_scatter's
+    first-winner.  Exact ties between distinct rows only arise at ReLU
+    zeros of the tower features, where the upstream ReLU backward zeroes the
+    gradient anyway; all conventions are valid subgradients of max.
+    """
+    return jax.ops.segment_max(
+        xm, segment_ids, num_segments=num_segments, indices_are_sorted=True
+    )
+
+
+def _segment_max_fwd(xm, segment_ids, num_segments):
+    raw = _segment_max_core(xm, segment_ids, num_segments)
+    return raw, (xm, segment_ids, raw)
+
+
+def _segment_max_bwd(num_segments, res, g):
+    xm, segment_ids, raw = res
+    squeeze = xm.ndim == 1
+    if squeeze:
+        xm, raw, g = xm[:, None], raw[:, None], g[:, None]
+    c = raw.shape[-1]
+    comb = jnp.concatenate([raw, g.astype(raw.dtype)], axis=-1)[segment_ids]
+    rmax, ge = comb[..., :c], comb[..., c:]
+    # xm <= _NEG/2 rows are masked-invalid fills (or whole-empty segments,
+    # where rmax == fill): they must not leak gradient into the pixel-gather
+    # backward.
+    grad = jnp.where((xm == rmax) & (xm > _NEG / 2), ge.astype(xm.dtype), 0)
+    if squeeze:
+        grad = grad[:, 0]
+    return grad, None
+
+
+_segment_max_core.defvjp(_segment_max_fwd, _segment_max_bwd)
+
+
 def segment_max(x, segment_ids, num_segments: int, valid=None, ptr=None):
     fn = _pallas_fn(x, "max", ptr)
     if fn is not None:
         return fn(x, segment_ids, num_segments, valid, ptr).astype(x.dtype)
     x = _masked(x, valid, _NEG)
-    out = jax.ops.segment_max(
-        x, segment_ids, num_segments=num_segments, indices_are_sorted=True
-    )
+    out = _segment_max_core(x, segment_ids, num_segments)
     # Empty segments come back as -inf; zero them like the reference's
     # segment_csr over an empty slice returns 0 after masking downstream.
     return jnp.where(out <= _NEG / 2, 0.0, out)
@@ -129,9 +178,7 @@ def segment_min(x, segment_ids, num_segments: int, valid=None, ptr=None):
     if fn is not None:
         return -fn(-x, segment_ids, num_segments, valid, ptr).astype(x.dtype)
     x = _masked(x, valid, _POS)
-    out = jax.ops.segment_min(
-        x, segment_ids, num_segments=num_segments, indices_are_sorted=True
-    )
+    out = -_segment_max_core(-x, segment_ids, num_segments)
     return jnp.where(out >= _POS / 2, 0.0, out)
 
 
@@ -170,7 +217,12 @@ def segment_softmax(
     segment before exponentiation, as in the reference's ``segment_softmax_csr``
     (pooling.py:788-801).  Invalid elements get weight 0.
     """
-    seg_max = segment_max(logits, segment_ids, num_segments, valid, ptr)
+    # The max shift is value-invariant (softmax(l - m) == softmax(l) for any
+    # per-segment constant m, including under the 1/sqrt(n) scaling), so its
+    # gradient is identically zero — stop_gradient cuts the max's whole VJP
+    # chain out of the backward at zero cost and full exactness.
+    seg_max = lax.stop_gradient(
+        segment_max(logits, segment_ids, num_segments, valid, ptr))
     logits = _masked(logits, valid, _NEG)
     shifted = logits - seg_max[segment_ids]
     if scaling:

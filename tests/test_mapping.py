@@ -161,3 +161,20 @@ def test_coverage_selection_incremental_matches_naive(scene_and_mapping):
         unseen[pid_of_view[img_of_view == choice]] = False
     got = select_images_by_coverage(m, max(m.num_images - 1, 1))
     np.testing.assert_array_equal(np.sort(naive), got)
+
+
+def test_duplicate_points_keep_features_finite():
+    """Coincident points make the kNN d2_max exactly 0; the reference's
+    isnan-only density guard (image.py:537-543) would let +inf through and
+    poison the view pool.  build_mappings must emit finite features for ALL
+    views (density -> 1.0 on such neighborhoods)."""
+    scene = synthetic.make_scene(seed=3, density=120.0, n_cameras=2,
+                                 image_size=(128, 64))
+    pos = np.asarray(scene.pos, np.float32).copy()
+    # clone a few points MORE times than knn_k (16), so the whole kNN
+    # neighborhood is coincident and d2_max is exactly 0
+    pos = np.concatenate([pos, np.repeat(pos[:8], 20, axis=0)], axis=0)
+    params = VisibilityParams(voxel=0.1, exact=False, max_splat=6)
+    m = build_mappings(pos, scene.cameras, params)
+    feats = m.view_feats[m.view_valid]
+    assert np.isfinite(feats).all(), "non-finite view features"
