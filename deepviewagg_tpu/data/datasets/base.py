@@ -88,6 +88,30 @@ def _images_sidecar(path: str) -> str:
     return base + "_images.npy"
 
 
+# Preprocessing cache version: bump whenever the OUTPUT of area
+# preprocessing changes (mapping features, voxelization, feature order...).
+# The reference warns when a dataset's stored pre_transform differs from
+# the configured one (torch_points3d/datasets/base_dataset.py pre_transform
+# hash check); without a stamp a stale cache silently serves old mappings
+# — e.g. round 5's inf-density fix was invisible under a pre-fix cache.
+# v2: density guard covers all non-finite values (mapping_factory.py).
+PREPROC_VERSION = 2
+
+
+def stale_area_cache(path: str) -> bool:
+    """True if ``path`` exists but was written by a different preprocessing
+    version (builders should rebuild it instead of skipping)."""
+    if not os.path.exists(path):
+        return False
+    try:
+        with np.load(path, allow_pickle=True) as z:
+            if "_preproc_version" not in z.files:
+                return True
+            return int(z["_preproc_version"]) != PREPROC_VERSION
+    except Exception:
+        return True  # unreadable/partial file: rebuild
+
+
 def save_area(path: str, cloud: Dict) -> None:
     """Serialize a preprocessed area/scan/window: voxelized cloud + mapping
     arrays + images (or image paths).
@@ -111,15 +135,27 @@ def save_area(path: str, cloud: Dict) -> None:
         payload["mapping_meta"] = np.array([m.num_points, m.num_images])
     if cloud.get("image_paths") is not None:
         payload["image_paths"] = np.array(cloud["image_paths"], dtype=object)
+    payload["_preproc_version"] = np.array(PREPROC_VERSION)
     np.savez_compressed(path, **payload)
 
 
 def load_area(path: str) -> Dict:
     z = np.load(path, allow_pickle=True)
+    stored = int(z["_preproc_version"]) if "_preproc_version" in z.files \
+        else None
+    if stored != PREPROC_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"{path}: preprocessed with version {stored}, code is at "
+            f"{PREPROC_VERSION} — delete the cache (and its _images.npy "
+            "sidecar) to re-preprocess", stacklevel=2)
     cloud = {}
     mapping_fields = {}
     for k in z.files:
-        if k.startswith("mapping_") and k != "mapping_meta":
+        if k == "_preproc_version":
+            pass
+        elif k.startswith("mapping_") and k != "mapping_meta":
             mapping_fields[k[len("mapping_"):]] = z[k]
         elif k == "mapping_meta":
             pass
