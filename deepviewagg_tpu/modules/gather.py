@@ -20,9 +20,63 @@ round 5), even though the same shape wins 2.5x on CPU.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 __all__ = ["gather_pixel_features"]
+
+# The bilinear footprint is SEPARABLE: every tap x-coordinate depends only on
+# pix_x and every y-coordinate only on pix_y, so the 4-tap gather+lerp equals
+# one integer row gather from the dense upsample
+#   UP = Rw @ maps @ Rh^T   (Rw [W, Wf], Rh [H, Hf] border-clamped bilinear
+# resize matrices — two banded matmuls that run on the MXU).  That trades the
+# gather engine's per-ROW issue cost (~6 cycles/row regardless of width,
+# PERF.md round 4) for dense FLOPs the chip has idle: 4 tap gathers + 4
+# backward scatters become 1 gather + 1 scatter.  Used when the upsampled
+# buffer fits the byte cap and the mapping is dense enough that saved gather
+# rows outweigh the dense write (see _use_upsample).
+_UPSAMPLE_MAX_BYTES = int(1.6e9)
+
+
+def _resize_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """[n_out, n_in] bilinear resize rows under the reference's
+    ``sparse_interpolation`` coordinate convention (image.py:142-146):
+    ``xf = x / (n_out - 1) * n_in - 0.5`` with border (replication) padding —
+    out-of-range taps clamp to the edge while weights keep their unclamped
+    distances, so clamped rows still sum to 1."""
+    xf = np.arange(n_out, dtype=np.float64) / max(n_out - 1, 1) * n_in - 0.5
+    x0 = np.floor(xf)
+    t = (xf - x0).astype(np.float32)
+    x0 = x0.astype(np.int64)
+    rows = np.arange(n_out)
+    mat = np.zeros((n_out, n_in), np.float32)
+    np.add.at(mat, (rows, np.clip(x0, 0, n_in - 1)), 1.0 - t)
+    np.add.at(mat, (rows, np.clip(x0 + 1, 0, n_in - 1)), t)
+    return jnp.asarray(mat)
+
+
+def _use_upsample(i_cap, w, h, c, n_rows, itemsize) -> bool:
+    up_bytes = i_cap * w * h * c * itemsize
+    if up_bytes > _UPSAMPLE_MAX_BYTES:
+        return False
+    # 3 saved gather rows (+3 backward scatters) per mapping row vs one dense
+    # [I*W*H, C] write + matmul: worth it once rows are ~1/8 of up pixels
+    return 3 * n_rows >= (i_cap * w * h) // 8
+
+
+def _bilinear_upsampled(maps, img_id, xi, yi, w, h, valid=None):
+    """Exact replacement for ``_bilinear`` at INTEGER ref-resolution pixel
+    coords: dense separable upsample (two matmuls) + one row gather."""
+    _, wf, hf, c = maps.shape
+    up = jnp.einsum("aw,iwhc->iahc", _resize_matrix(w, wf), maps)
+    up = jnp.einsum("bh,iahc->iabc", _resize_matrix(h, hf), up)
+    flat = up.reshape(-1, c)
+    idx = img_id * (w * h) + jnp.clip(xi, 0, w - 1) * h + jnp.clip(yi, 0, h - 1)
+    out = flat[idx]
+    if valid is not None:
+        out = out * valid[:, None].astype(out.dtype)
+    return out
 
 
 def _bilinear(maps, img_id, xf, yf):
@@ -83,8 +137,15 @@ def gather_pixel_features(
     if interpolate and (wf, hf) == (w, h):
         interpolate = False
     if interpolate:
-        xf = mapping["pix_x"].astype(jnp.float32) / max(w - 1, 1) * wf - 0.5
-        yf = mapping["pix_y"].astype(jnp.float32) / max(h - 1, 1) * hf - 0.5
+        px = jnp.asarray(mapping["pix_x"])
+        py = jnp.asarray(mapping["pix_y"])
+        if _use_upsample(i_cap, w, h, feature_maps.shape[-1], px.shape[0],
+                         feature_maps.dtype.itemsize):
+            return _bilinear_upsampled(
+                feature_maps, img_id, px.astype(jnp.int32),
+                py.astype(jnp.int32), w, h, valid=mapping["pix_valid"])
+        xf = px.astype(jnp.float32) / max(w - 1, 1) * wf - 0.5
+        yf = py.astype(jnp.float32) / max(h - 1, 1) * hf - 0.5
         out = _bilinear(feature_maps, img_id, xf, yf)
     else:
         xi = jnp.clip((mapping["pix_x"].astype(jnp.float32) * sx).astype(jnp.int32), 0, wf - 1)
